@@ -1,0 +1,178 @@
+"""Volumetric fog: Henyey–Greenstein phase, hash noise, single scattering.
+
+Re-design of the shader fog stack (gpu.go:1125-1341): legacy exponential
+sky fog (``applyFog``), heterogeneous medium coefficients (``mediumCoeffs``
+with fractal hash noise) and per-light single-scatter estimation
+(``estimateVolumeLight``).  The fixed 24-step march itself lives in the
+integrator (it needs the primary-hit distance).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..soa import ScenePack
+from . import geometry, sampling
+from .rng import LaneRng
+
+__all__ = [
+    "phase_hg",
+    "hash31",
+    "volume_noise",
+    "medium_coeffs",
+    "apply_legacy_fog",
+    "estimate_volume_light",
+    "FOG_MARCH_STEPS",
+    "FOG_MARCH_TMAX",
+]
+
+_F = jnp.float32
+PI = _F(3.14159265359)
+FOG_MARCH_STEPS = 24  # gpu.go:1319
+FOG_MARCH_TMAX = _F(40.0)  # gpu.go:1314
+
+
+def phase_hg(cos_theta, g):
+    """Henyey–Greenstein phase function (gpu.go:1139-1143)."""
+    gg = g * g
+    denom = _F(1.0) + gg - _F(2.0) * g * cos_theta
+    return (_F(1.0) - gg) / (
+        _F(4.0) * PI * denom * jnp.sqrt(jnp.maximum(denom, _F(1e-6)))
+    )
+
+
+def hash31(p):
+    """3D hash noise (gpu.go:1146-1153): fract(sin(sum of dots)*43758.5453)."""
+    qx = p[..., 0] * _F(127.1) + p[..., 1] * _F(311.7) + p[..., 2] * _F(74.7)
+    qy = p[..., 0] * _F(269.5) + p[..., 1] * _F(183.3) + p[..., 2] * _F(246.1)
+    qz = p[..., 0] * _F(113.5) + p[..., 1] * _F(271.9) + p[..., 2] * _F(124.6)
+    s = jnp.sin(qx + qy + qz) * _F(43758.5453)
+    return s - jnp.floor(s)
+
+
+def volume_noise(p, fog_block):
+    """Fractal hash noise, 1-5 octaves (gpu.go:1156-1171).
+
+    The octave count comes from the (traced) fog block, so the loop is
+    unrolled to 5 with per-octave masking — static control flow under jit.
+    """
+    noise_scale = fog_block[12]
+    octaves = jnp.clip(fog_block[13], _F(1.0), _F(5.0))
+    amp = _F(1.0)
+    freq = noise_scale
+    total = jnp.zeros(p.shape[:-1], dtype=jnp.float32)
+    norm = jnp.zeros((), dtype=jnp.float32)
+    for i in range(5):
+        active = _F(i) < octaves
+        total = total + jnp.where(active, hash31(p * freq) * amp, _F(0.0))
+        norm = norm + jnp.where(active, amp, _F(0.0))
+        amp = amp * _F(0.5)
+        freq = freq * _F(2.0)
+    return jnp.where(norm > 0, total / jnp.maximum(norm, _F(1e-20)), _F(1.0))
+
+
+def medium_coeffs(pos, fog_block):
+    """Local (sigma_s, sigma_a, sigma_t) with hetero noise (gpu.go:1174-1203).
+
+    pos: f32[N,3].  Returns three f32[N].
+    """
+    base_s = jnp.maximum(fog_block[8], _F(0.0))
+    base_a = jnp.maximum(fog_block[9], _F(0.0))
+    density = fog_block[0]
+    scatter = jnp.clip(fog_block[1], _F(0.0), _F(1.0))
+
+    # fallback from legacy density/scatter (gpu.go:1178-1185)
+    use_fallback = (base_s <= 0) & (base_a <= 0) & (density > 0)
+    fb_s = density * scatter
+    fb_a = jnp.maximum(density - fb_s, _F(0.0))
+    sigma_s = jnp.where(use_fallback, fb_s, base_s)
+    sigma_a = jnp.where(use_fallback, fb_a, base_a)
+
+    sigma_t = sigma_s + sigma_a
+    off = sigma_t <= 0
+    sigma_s = jnp.where(off, _F(0.0), sigma_s)
+    sigma_a = jnp.where(off, _F(0.0), sigma_a)
+
+    hetero = fog_block[11]
+    k = jnp.clip(hetero, _F(0.0), _F(1.0))
+    n = volume_noise(pos, fog_block)
+    scale = jnp.where(hetero > 0, (_F(1.0) - k) * (_F(1.0) - n) + (_F(1.0) + k) * n, _F(1.0))
+    sigma_s = sigma_s * jnp.broadcast_to(scale, sigma_s.shape if jnp.ndim(sigma_s) else scale.shape)
+    sigma_a = sigma_a * scale
+    sigma_s = jnp.broadcast_to(sigma_s, pos.shape[:-1])
+    sigma_a = jnp.broadcast_to(sigma_a, pos.shape[:-1])
+    return sigma_s, sigma_a, sigma_s + sigma_a
+
+
+def apply_legacy_fog(radiance, distance, fog_block):
+    """Exponential fog blend toward fog color (applyFog, gpu.go:1125-1133).
+
+    Applied to sky misses with fixed distance 50 when density > 0 and
+    affect_sky (gpu.go:1389-1394).  radiance: f32[N,3]; distance scalar.
+    """
+    density = fog_block[0]
+    att = jnp.exp(-density * _F(distance))
+    fog_col = fog_block[4:7]
+    blended = radiance * att + fog_col[None, :] * (_F(1.0) - att)
+    enabled = (density > 0) & (_F(distance) > 0)
+    return jnp.where(enabled, blended, radiance)
+
+
+def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
+    """Single-scatter in-fog lighting at ``pos`` (gpu.go:1208-1297).
+
+    Loops over the emissive-light list (static count), samples each sphere
+    light's surface, casts an un-offset shadow ray, weights by the HG phase
+    for the camera direction, sums, doubles (deliberate x2 boost,
+    gpu.go:1283) and luminance-clamps at 500.
+    """
+    fog_block = pack.fog
+    g = fog_block[10]
+    out = jnp.zeros_like(pos)
+    for i in range(pack.n_lights):
+        light_obj = jnp.broadcast_to(pack.light_idx[i], pos.shape[:1])
+        valid, light_pos, light_n, pdf_area = _sample_light(light_obj, pack, rng)
+
+        to_light = light_pos - pos
+        dist_sq = jnp.sum(to_light * to_light, axis=-1)
+        valid = valid & (dist_sq > _F(1e-6))
+        dist = jnp.sqrt(jnp.maximum(dist_sq, _F(1e-20)))
+        wi = to_light / dist[:, None]
+
+        blocked = geometry.occluded(pos, wi, pack, _F(0.001), dist - _F(0.002))
+        valid = valid & ~blocked
+
+        cos_light = jnp.maximum(_F(0), jnp.sum(light_n * -wi, axis=-1))
+        valid = valid & (cos_light > _F(0))
+
+        cos_theta = jnp.sum(-wi * view_dir, axis=-1)
+        phase = phase_hg(cos_theta, g)
+
+        emit = pack.mat_emit[pack.obj_mat[light_obj]]
+        geom = cos_light / jnp.maximum(_F(1e-6), dist_sq)
+        contrib = emit * (geom * phase / jnp.maximum(_F(1e-6), pdf_area))[:, None]
+        out = out + jnp.where(valid[:, None], contrib, _F(0.0))
+
+    out = out * _F(2.0)
+    # firefly clamp (gpu.go:1286-1294)
+    weights = jnp.array([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
+    lum = jnp.sum(out * weights, axis=-1)
+    scale = jnp.where(lum > _F(500.0), _F(500.0) / jnp.maximum(lum, _F(1e-6)), _F(1.0))
+    out = out * scale[:, None]
+    # fogScatter <= 0 disables volume lighting entirely (gpu.go:1209-1211)
+    return jnp.where(fog_block[1] > 0, out, _F(0.0))
+
+
+def _sample_light(obj_idx, pack: ScenePack, rng: LaneRng):
+    from ..soa import OBJ_SPHERE
+
+    otype = pack.obj_type[obj_idx]
+    center = pack.obj_pos[obj_idx]
+    radius = pack.obj_size[obj_idx, 0]
+    u1 = rng.next()
+    u2 = rng.next()
+    normal = sampling.sphere_surface(u1, u2)
+    light_pos = center + radius[:, None] * normal
+    area = _F(4.0) * PI * radius * radius
+    pdf = _F(1.0) / jnp.maximum(area, _F(1e-20))
+    return (otype == OBJ_SPHERE) & (pdf > 0), light_pos, normal, pdf

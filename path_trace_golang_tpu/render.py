@@ -1,0 +1,330 @@
+"""Render orchestration: progressive passes, accumulation, streaming.
+
+Re-design of the reference's two render drivers:
+
+* ``renderOnce`` (gpu.go:1799-2528): per-pass progressive dispatch with an
+  on-device accumulation buffer, periodic tonemapped readback (~every 10%
+  of passes) and final denoise/smooth.
+* ``renderIntoCPU`` (renderer.go:44-246): tile-queue workers — on TPU the
+  tile queue becomes a flat lane dimension processed in fixed-size chunks,
+  all pixels in a chunk in flight simultaneously.
+
+One pass == one dispatch of the compute kernel with ``uSamplesPerPx = 1``
+(gpu.go:2214-2218).  Faithfully to the shader's stratified-sampling
+arithmetic (gpu.go:1683-1730), a 1-spp dispatch actually takes **16
+stratified samples whose SUM is accumulated and counted as one sample** —
+the accumulated mean is 16x the physical radiance, and ACES tonemapping is
+applied to that (this is the single largest brightness-defining behavior
+of the reference; see PHYSICS.md Q1).  Set ``normalize_pass=True`` for a
+physically-normalized render instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .integrator import TraceConfig, trace, trace_config_for_scene
+from .ops.camera import camera_rays
+from .ops.rng import LaneRng, seed_lanes
+from .post import box_smooth, finalize_cpu_contract, finalize_gpu_contract
+from .scene.model import RenderSettings, Scene
+from .soa import ScenePack, pack_scene
+from .utils import config as env_config
+
+__all__ = [
+    "RenderConfig",
+    "RenderStats",
+    "Renderer",
+    "render_into",
+    "render_scene",
+    "render_settings_for_mode",
+    "set_backend",
+    "get_backend",
+    "BACKEND_CPU",
+    "BACKEND_GPU",
+]
+
+_F = jnp.float32
+
+# Backend switch parity (internal/engine/backend.go:5-28).  Both contracts
+# execute on the TPU; the names select the *physics contract* the backend
+# implemented in the reference.
+BACKEND_CPU = "cpu"
+BACKEND_GPU = "gpu"
+_backend = BACKEND_CPU
+
+
+def set_backend(b: str) -> None:
+    global _backend
+    if b not in (BACKEND_CPU, BACKEND_GPU):
+        raise ValueError(f"unknown backend {b!r}")
+    _backend = b
+
+
+def get_backend() -> str:
+    return _backend
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Internal render parameters (engine.RenderConfig, renderer.go:17-22)."""
+
+    width: int
+    height: int
+    samples_per_px: int
+    max_depth: int
+
+
+@dataclasses.dataclass
+class RenderStats:
+    passes: int = 0
+    samples_per_pixel: int = 0
+    ray_segments: int = 0
+    wall_seconds: float = 0.0
+
+    @property
+    def mrays_per_sec(self) -> float:
+        if self.wall_seconds <= 0:
+            return 0.0
+        return self.ray_segments / self.wall_seconds / 1e6
+
+
+def render_settings_for_mode(mode: str) -> RenderSettings:
+    """Mode presets (util.go:25-42): final 1920x1080/1000spp/depth 80,
+    preview 400x225/20spp/depth 20."""
+    if mode == "final":
+        return RenderSettings(width=1920, height=1080, samples_per_px=1000, max_depth=80)
+    return RenderSettings(width=400, height=225, samples_per_px=20, max_depth=20)
+
+
+# ---------------------------------------------------------------------------
+# Per-pass device kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "width", "height", "n_strata", "samples", "has_aperture", "chunk", "normalize_pass"),
+    donate_argnames=("accum",),
+)
+def _render_pass_chunk(
+    accum,
+    pack: ScenePack,
+    frame_seed,
+    start,
+    *,
+    tcfg: TraceConfig,
+    width: int,
+    height: int,
+    n_strata: int,
+    samples: int,
+    has_aperture: bool,
+    chunk: int,
+    normalize_pass: bool,
+):
+    """Trace one pass for ``chunk`` consecutive lanes; add into accum.
+
+    Sample loop follows the shader's main() (gpu.go:1673-1732): per sample,
+    draw the stratum jitter, build the camera ray, trace, sum.
+    """
+    idx = start + jnp.arange(chunk, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+    state0 = seed_lanes(px, py, frame_seed)
+
+    inv_w = _F(1.0) / _F(width - 1 if width > 1 else 1)
+    inv_h = _F(1.0) / _F(height - 1 if height > 1 else 1)
+    fy = (_F(height - 1) - py.astype(jnp.float32))
+    pxf = px.astype(jnp.float32)
+
+    def sample_body(s, carry):
+        state, col, segs = carry
+        rng = LaneRng(state)
+        jx = rng.next()
+        jy = rng.next()
+        if n_strata > 1:
+            sx = (s % n_strata).astype(jnp.float32)
+            sy = (s // n_strata).astype(jnp.float32)
+            su = (sx + jx) * _F(1.0 / n_strata)
+            sv = (sy + jy) * _F(1.0 / n_strata)
+        else:
+            su, sv = jx, jy
+        u = (pxf + su) * inv_w
+        v = (fy + sv) * inv_h
+        orig, dirv = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
+        rad, new_state, seg = trace(orig, dirv, rng.state, pack, tcfg)
+        return new_state, col + rad, segs + seg
+
+    col0 = jnp.zeros((chunk, 3), dtype=jnp.float32)
+    _state, col, segs = lax.fori_loop(
+        0, samples, sample_body, (state0, col0, jnp.zeros((), jnp.int32))
+    )
+    if normalize_pass:
+        col = col * _F(1.0 / samples)
+
+    cur = lax.dynamic_slice(accum, (start, jnp.int32(0)), (chunk, 3))
+    accum = lax.dynamic_update_slice(accum, cur + col, (start, jnp.int32(0)))
+    return accum, segs
+
+
+# ---------------------------------------------------------------------------
+# Renderer
+# ---------------------------------------------------------------------------
+
+
+class Renderer:
+    """Progressive path-trace renderer.
+
+    ``contract`` None means "follow the global backend switch".
+    ``progress`` callbacks receive ``(pass_index, u8_image[H,W,3])`` roughly
+    every 10% of passes (gpu.go:2209-2212), replacing the reference's Fyne
+    canvas refresh with tile streaming (SURVEY.md §5 checkpoint analog).
+    """
+
+    def __init__(
+        self,
+        contract: Optional[str] = None,
+        chunk: Optional[int] = None,
+        normalize_pass: bool = False,
+        seed: int = 1,
+    ):
+        self.contract = contract
+        self.chunk = chunk or env_config.get_chunk_size()
+        self.normalize_pass = normalize_pass
+        self.seed = seed
+        self.stats = RenderStats()
+
+    def render(
+        self,
+        sc: Scene,
+        cfg: RenderConfig,
+        progress: Optional[Callable[[int, np.ndarray], None]] = None,
+        cancel: Optional[Callable[[], bool]] = None,
+    ) -> np.ndarray:
+        contract = self.contract or get_backend()
+        if contract == BACKEND_GPU:
+            try:
+                return self._render(sc, cfg, BACKEND_GPU, progress, cancel)
+            except Exception as e:  # GPU->CPU fallback (renderer.go:250-263)
+                import sys
+
+                print(
+                    f"GPU-contract render error: {e}\nFalling back to CPU contract.",
+                    file=sys.stderr,
+                )
+                return self._render(sc, cfg, BACKEND_CPU, progress, cancel)
+        return self._render(sc, cfg, contract, progress, cancel)
+
+    def _render(self, sc, cfg, contract, progress, cancel) -> np.ndarray:
+        t0 = time.perf_counter()
+        w, h = cfg.width, cfg.height
+        n = w * h
+        chunk = min(self.chunk, max(n, 1))
+        n_chunks = -(-n // chunk)
+        n_pad = n_chunks * chunk
+
+        pack = pack_scene(sc, w, h)
+        tcfg = trace_config_for_scene(pack, sc, cfg.max_depth, contract)
+        has_aperture = sc.camera.aperture > 0
+
+        if contract == BACKEND_GPU:
+            n_strata, samples = 4, 16  # shader strata arithmetic at 1 spp/pass
+        else:
+            n_strata, samples = 1, 1
+
+        accum = jnp.zeros((n_pad, 3), dtype=jnp.float32)
+        passes = max(1, cfg.samples_per_px)
+        update_every = max(1, passes // 10)
+        total_segs = jnp.zeros((), jnp.int32)
+
+        def current_image(accum, count):
+            flat = lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
+            if contract == BACKEND_GPU:
+                dn = env_config.get_denoise_config()
+                u8 = finalize_gpu_contract(
+                    flat,
+                    jnp.asarray(count),
+                    denoise=dn.enabled,
+                    denoise_sigma_s=dn.sigma_s,
+                    denoise_sigma_r=dn.sigma_r,
+                )
+                sm = env_config.get_smooth_config()
+                if sm.enabled and sm.radius > 0 and sm.strength > 0:
+                    u8 = box_smooth(u8, sm.radius, sm.strength)
+                return u8
+            return finalize_cpu_contract(flat, jnp.asarray(count))
+
+        def preview_image(accum, count):
+            # progress frames skip denoise/smooth (gpu.go:2291-2293)
+            flat = lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
+            if contract == BACKEND_GPU:
+                return finalize_gpu_contract(flat, jnp.asarray(count), denoise=False)
+            return finalize_cpu_contract(flat, jnp.asarray(count))
+
+        completed = 0
+        for p in range(passes):
+            frame_seed = jnp.uint32(self.seed + p)
+            for c in range(n_chunks):
+                accum, segs = _render_pass_chunk(
+                    accum,
+                    pack,
+                    frame_seed,
+                    jnp.int32(c * chunk),
+                    tcfg=tcfg,
+                    width=w,
+                    height=h,
+                    n_strata=n_strata,
+                    samples=samples,
+                    has_aperture=has_aperture,
+                    chunk=chunk,
+                    normalize_pass=self.normalize_pass,
+                )
+                total_segs = total_segs + segs
+            completed = p + 1
+            if progress is not None and ((p % update_every) == update_every - 1 or p == passes - 1):
+                progress(p + 1, np.asarray(preview_image(accum, p + 1)))
+            if cancel is not None and cancel():
+                break
+
+        img = np.asarray(current_image(accum, max(completed, 1)))
+        wall = time.perf_counter() - t0
+        self.stats = RenderStats(
+            passes=completed,
+            samples_per_pixel=completed * samples,
+            ray_segments=int(total_segs),
+            wall_seconds=wall,
+        )
+        return img
+
+
+# ---------------------------------------------------------------------------
+# Facade API (engine/util.go parity)
+# ---------------------------------------------------------------------------
+
+
+def render_into(
+    sc: Scene,
+    cfg: RenderConfig,
+    progress: Optional[Callable[[int, np.ndarray], None]] = None,
+) -> np.ndarray:
+    """RenderInto analog (renderer.go:34-41): honors the backend switch."""
+    return Renderer().render(sc, cfg, progress=progress)
+
+
+def render_scene(sc: Scene, settings: RenderSettings) -> np.ndarray:
+    """RenderScene analog (util.go:13-22)."""
+    cfg = RenderConfig(
+        width=settings.width,
+        height=settings.height,
+        samples_per_px=settings.samples_per_px,
+        max_depth=settings.max_depth,
+    )
+    return render_into(sc, cfg)

@@ -1,0 +1,296 @@
+"""Scene -> SoA device arrays (the TPU equivalent of the GPU SSBO/UBO packer).
+
+Layouts are kept identical to the reference's GPU buffers so scenes
+round-trip bit-compatibly:
+
+* material stride 20 floats (shader comment gpu.go:402-406, packer
+  gpu.go:1829-1913):
+  ``[typ, rough, ior, smoothness, albedo.rgb, reflectivity,
+  emit.rgb, pad, absorption.rgb, absorption_scale, tint.rgb, pad]``
+* object stride 12 floats (gpu.go:411-416, packer gpu.go:1915-1968):
+  ``[type, matIndex, pad, pad, pos.xyz, pad, size.xyz, pad]``
+* light index list = indices of emissive objects with nonzero emit
+  (gpu.go:1961-1967)
+* camera block (gpu.go:1977-1985), sky block (gpu.go:1987-2009),
+  fog block (gpu.go:2011-2104) — same 16-float std140-like layouts.
+
+Pack-time defaults reproduce gpu.go exactly: metal ``smoothness = 1-rough``
+and ``reflectivity = 1`` when unset, dielectric ``absorption_scale = 0.01``
+and ``tint = white`` when unset, ``emit *= power``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .scene.model import Scene
+
+__all__ = [
+    "ScenePack",
+    "pack_scene",
+    "MAT_LAMBERT",
+    "MAT_METAL",
+    "MAT_DIELECTRIC",
+    "MAT_EMISSIVE",
+    "MAT_MIRROR",
+    "OBJ_SPHERE",
+    "OBJ_PLANE",
+    "OBJ_BOX",
+    "MAT_STRIDE",
+    "OBJ_STRIDE",
+]
+
+# Material / object type codes — must match the shader constants
+# (gpu.go:429-437) and the Go mirrors (gpu.go:236-248).
+MAT_LAMBERT = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_EMISSIVE = 3
+MAT_MIRROR = 4
+
+OBJ_SPHERE = 0
+OBJ_PLANE = 1
+OBJ_BOX = 2
+
+MAT_STRIDE = 20
+OBJ_STRIDE = 12
+
+_MAT_CODE = {
+    "lambert": MAT_LAMBERT,
+    "metal": MAT_METAL,
+    "dielectric": MAT_DIELECTRIC,
+    "emissive": MAT_EMISSIVE,
+    "mirror": MAT_MIRROR,
+}
+_OBJ_CODE = {
+    "sphere": OBJ_SPHERE,
+    "sphere_light": OBJ_SPHERE,  # sphere with emissive material (objects.go:244-250)
+    "plane": OBJ_PLANE,
+    "box": OBJ_BOX,
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScenePack:
+    """Device-resident SoA scene.
+
+    Array fields are pytree leaves (jit-traceable); ``n_objects`` /
+    ``n_materials`` / ``n_lights`` are static metadata — a new scene
+    topology triggers a recompile, matching XLA's static-shape model.
+    """
+
+    mat: jax.Array  # f32[M, 20]
+    obj: jax.Array  # f32[N, 12]
+    light_idx: jax.Array  # i32[max(L,1)]
+    cam: jax.Array  # f32[16]
+    sky: jax.Array  # f32[16]
+    fog: jax.Array  # f32[16]
+    n_objects: int = dataclasses.field(metadata=dict(static=True))
+    n_materials: int = dataclasses.field(metadata=dict(static=True))
+    n_lights: int = dataclasses.field(metadata=dict(static=True))
+
+    # ---- unpacked views used by the kernels (cheap in-jit slices) ----
+    @property
+    def obj_type(self):
+        return self.obj[:, 0].astype(np.int32)
+
+    @property
+    def obj_mat(self):
+        return self.obj[:, 1].astype(np.int32)
+
+    @property
+    def obj_pos(self):
+        return self.obj[:, 4:7]
+
+    @property
+    def obj_size(self):
+        return self.obj[:, 8:11]
+
+    @property
+    def mat_type(self):
+        return self.mat[:, 0].astype(np.int32)
+
+    @property
+    def mat_rough(self):
+        return self.mat[:, 1]
+
+    @property
+    def mat_ior(self):
+        return self.mat[:, 2]
+
+    @property
+    def mat_smoothness(self):
+        return self.mat[:, 3]
+
+    @property
+    def mat_albedo(self):
+        return self.mat[:, 4:7]
+
+    @property
+    def mat_reflectivity(self):
+        return self.mat[:, 7]
+
+    @property
+    def mat_emit(self):
+        return self.mat[:, 8:11]
+
+    @property
+    def mat_absorption(self):
+        return self.mat[:, 12:15]
+
+    @property
+    def mat_absorption_scale(self):
+        return self.mat[:, 15]
+
+    @property
+    def mat_tint(self):
+        return self.mat[:, 16:19]
+
+
+def _clamp(x: float, lo: float, hi: float) -> float:
+    return lo if x < lo else hi if x > hi else x
+
+
+def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
+    """Pack a :class:`Scene` into SoA arrays (gpu.go:1813-2104).
+
+    ``width``/``height`` feed the camera-aspect fallback
+    (``aspect = W/H`` when ``camera.aspect_ratio == 0``, gpu.go:1972-1975);
+    pass the render resolution, or leave 0 to defer the fallback to the
+    ray-gen kernel.
+    """
+    m_count = len(sc.materials)
+    mat = np.zeros((max(m_count, 1), MAT_STRIDE), dtype=np.float32)
+    for i, m in enumerate(sc.materials):
+        typ = _MAT_CODE.get(m.type, MAT_LAMBERT)
+        mat[i, 0] = typ
+        mat[i, 1] = m.rough
+        mat[i, 2] = m.ior
+
+        # smoothness default for metals: 1 - rough (gpu.go:1854-1866)
+        smoothness = m.smoothness
+        if smoothness == 0 and typ == MAT_METAL:
+            smoothness = 1.0 - m.rough
+        mat[i, 3] = _clamp(smoothness, 0.0, 1.0)
+
+        mat[i, 4:7] = m.albedo.as_tuple()
+
+        # reflectivity default for metals: 1.0 (gpu.go:1872-1883)
+        reflectivity = m.reflectivity
+        if reflectivity == 0 and typ == MAT_METAL:
+            reflectivity = 1.0
+        mat[i, 7] = _clamp(reflectivity, 0.0, 1.0)
+
+        # emit * power (gpu.go:1886-1888)
+        mat[i, 8] = m.emit.r * m.power
+        mat[i, 9] = m.emit.g * m.power
+        mat[i, 10] = m.emit.b * m.power
+
+        mat[i, 12:15] = m.absorption.as_tuple()
+
+        # absorption_scale default for dielectrics: 0.01 (gpu.go:1894-1899)
+        absorption_scale = m.absorption_scale
+        if absorption_scale == 0 and typ == MAT_DIELECTRIC:
+            absorption_scale = 0.01
+        mat[i, 15] = absorption_scale
+
+        # tint default for dielectrics: white (gpu.go:1901-1912)
+        tr, tg, tb = m.tint.as_tuple()
+        if tr == 0 and tg == 0 and tb == 0 and typ == MAT_DIELECTRIC:
+            tr = tg = tb = 1.0
+        mat[i, 16], mat[i, 17], mat[i, 18] = tr, tg, tb
+
+    o_count = len(sc.objects)
+    obj = np.zeros((max(o_count, 1), OBJ_STRIDE), dtype=np.float32)
+    mat_index = sc.material_index()
+    light_list = []
+    for i, o in enumerate(sc.objects):
+        obj[i, 0] = _OBJ_CODE.get(o.type, OBJ_SPHERE)
+        midx = mat_index.get(o.material_id, 0)  # unknown id -> 0 (gpu.go:1944-1951)
+        obj[i, 1] = midx
+        obj[i, 4:7] = o.position.as_tuple()
+        obj[i, 8:11] = o.size.as_tuple()
+        # emissive objects with nonzero emit become lights (gpu.go:1961-1967)
+        if midx < m_count:
+            m = sc.materials[midx]
+            if m.type == "emissive" and (m.emit.r > 0 or m.emit.g > 0 or m.emit.b > 0):
+                light_list.append(i)
+
+    n_lights = len(light_list)
+    light_idx = np.zeros((max(n_lights, 1),), dtype=np.int32)
+    light_idx[:n_lights] = light_list
+
+    # --- camera block (gpu.go:1970-1985) ---
+    cam_block = np.zeros((16,), dtype=np.float32)
+    c = sc.camera
+    aspect = c.aspect_ratio
+    if aspect == 0 and width > 0 and height > 0:
+        aspect = float(width) / float(height)
+    cam_block[0:3] = c.position.as_tuple()
+    cam_block[4:7] = c.target.as_tuple()
+    cam_block[8:11] = c.up.as_tuple()
+    cam_block[12] = c.fov
+    cam_block[13] = c.aperture
+    cam_block[14] = c.focus_dist
+    cam_block[15] = aspect
+
+    # --- sky block (gpu.go:1987-2009) ---
+    sky_block = np.zeros((16,), dtype=np.float32)
+    if sc.sky is not None:
+        if sc.sky.type == "gradient":
+            sky_block[0] = 2.0
+            sky_block[8:11] = sc.sky.horizon.as_tuple()
+            sky_block[12:15] = sc.sky.zenith.as_tuple()
+        else:  # solid (and any other non-None type)
+            sky_block[0] = 1.0
+            sky_block[4:7] = sc.sky.color.as_tuple()
+    else:
+        sky_block[0] = 0.0
+        sky_block[4:7] = sc.background.as_tuple()
+
+    # --- fog block (gpu.go:2011-2104) ---
+    fog_block = np.zeros((16,), dtype=np.float32)
+    fog_block[12] = 4.0  # noise_scale default (gpu.go:2020)
+    fog_block[13] = 3.0  # noise_octaves default (gpu.go:2021)
+    f = sc.fog
+    if f is not None:
+        density = f.density if f.density > 0 else 0.0
+        scatter = f.scatter if f.scatter > 0 else (1.0 if density > 0 else 0.0)
+        fog_block[0] = density
+        fog_block[1] = scatter
+        fog_block[2] = 1.0 if f.affect_sky else 0.0
+        fog_block[3] = 1.0 if f.gpu_volumetric else 0.0
+        fog_block[4:7] = f.color.as_tuple()
+        fog_block[7] = 1.0
+        if f.sigma_s > 0 or f.sigma_a > 0:
+            fog_block[8] = f.sigma_s
+            fog_block[9] = f.sigma_a
+        elif density > 0:
+            s_mul = _clamp(scatter, 0.0, 1.0)
+            sigma_s = density * s_mul
+            fog_block[8] = sigma_s
+            fog_block[9] = max(density - sigma_s, 0.0)
+        fog_block[10] = _clamp(f.g, -0.9, 0.9)
+        if f.hetero_strength > 0:
+            fog_block[11] = min(f.hetero_strength, 1.0)
+        if f.noise_scale > 0:
+            fog_block[12] = f.noise_scale
+        if f.noise_octaves > 0:
+            fog_block[13] = min(f.noise_octaves, 5)
+
+    return ScenePack(
+        mat=jax.numpy.asarray(mat),
+        obj=jax.numpy.asarray(obj),
+        light_idx=jax.numpy.asarray(light_idx),
+        cam=jax.numpy.asarray(cam_block),
+        sky=jax.numpy.asarray(sky_block),
+        fog=jax.numpy.asarray(fog_block),
+        n_objects=o_count,
+        n_materials=m_count,
+        n_lights=n_lights,
+    )
