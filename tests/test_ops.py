@@ -1,0 +1,276 @@
+"""Unit tests for the compute ops: intersection vs closed form, optics vs
+physics, RNG behavior, sampler distributions (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from path_trace_golang_tpu import scene as S
+from path_trace_golang_tpu.ops import geometry, optics, rng, sampling, sky
+from path_trace_golang_tpu.ops.rng import LaneRng
+from path_trace_golang_tpu.soa import pack_scene
+
+from helpers import mat, obj, base_camera, solid_sky
+
+
+def _pack(objects, materials):
+    sc = S.Scene(camera=base_camera(), sky=solid_sky(), objects=objects, materials=materials)
+    return pack_scene(sc)
+
+
+def _rays(origins, dirs):
+    o = jnp.asarray(origins, dtype=jnp.float32)
+    d = jnp.asarray(dirs, dtype=jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+# ---------------------------------------------------------------------------
+# RNG
+# ---------------------------------------------------------------------------
+
+
+def test_hash_u_reference_values():
+    """Bit-exact against a NumPy uint32 reimplementation of gpu.go:444-453."""
+
+    def ref_hash(x):
+        x = np.uint32(x)
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint32(17)
+            x = np.uint32((int(x) * 0xED5AD4BB) & 0xFFFFFFFF)
+            x ^= x >> np.uint32(11)
+            x = np.uint32((int(x) * 0xAC4C1B51) & 0xFFFFFFFF)
+            x ^= x >> np.uint32(15)
+            x = np.uint32((int(x) * 0x31848BAB) & 0xFFFFFFFF)
+            x ^= x >> np.uint32(14)
+        return int(x)
+
+    xs = np.array([0, 1, 2, 1973, 9277, 0xDEADBEEF, 0xFFFFFFFF], dtype=np.uint32)
+    got = np.asarray(rng.hash_u(jnp.asarray(xs)))
+    want = np.array([ref_hash(x) for x in xs], dtype=np.uint32)
+    assert (got == want).all()
+
+
+def test_rng_uniformity_and_determinism():
+    state = rng.seed_lanes(jnp.arange(4096), jnp.zeros(4096, jnp.uint32), 7)
+    r = LaneRng(state)
+    draws = jnp.stack([r.next() for _ in range(8)])
+    arr = np.asarray(draws).ravel()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert abs(arr.mean() - 0.5) < 0.01
+    assert abs(np.var(arr) - 1 / 12) < 0.005
+    # same seed reproduces
+    r2 = LaneRng(rng.seed_lanes(jnp.arange(4096), jnp.zeros(4096, jnp.uint32), 7))
+    assert np.array_equal(np.asarray(r2.next()), np.asarray(draws[0]))
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+
+def test_sphere_hit_closed_form():
+    pack = _pack(
+        [obj("s", "sphere", (0, 0, -5), (2, 0, 0), material_id="m")],
+        [mat("m")],
+    )
+    o, d = _rays([[0, 0, 0], [0, 0, 0], [10, 0, 0]], [[0, 0, -1], [0, 1, 0], [0, 0, -1]])
+    h = geometry.intersect_world(o, d, pack)
+    assert bool(h.hit[0]) and not bool(h.hit[1]) and not bool(h.hit[2])
+    assert float(h.t[0]) == pytest.approx(3.0, abs=1e-5)  # 5 - radius 2
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-6)
+    assert bool(h.front_face[0])
+
+
+def test_sphere_inside_hit_backface():
+    pack = _pack([obj("s", "sphere", (0, 0, 0), (2, 0, 0), material_id="m")], [mat("m")])
+    o, d = _rays([[0, 0, 0]], [[0, 0, -1]])
+    h = geometry.intersect_world(o, d, pack)
+    assert bool(h.hit[0])
+    assert float(h.t[0]) == pytest.approx(2.0, abs=1e-5)
+    assert not bool(h.front_face[0])
+    # normal flipped toward the ray origin side
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-5)
+
+
+def test_plane_hit_and_parallel_miss():
+    pack = _pack([obj("p", "plane", (0, 1, 0), material_id="m")], [mat("m")])
+    o, d = _rays([[0, 5, 0], [0, 5, 0]], [[0, -1, 0], [1, 0, 0]])
+    h = geometry.intersect_world(o, d, pack)
+    assert bool(h.hit[0]) and not bool(h.hit[1])
+    assert float(h.t[0]) == pytest.approx(4.0, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 1, 0], atol=1e-6)
+
+
+def test_box_hit_normal_faces():
+    pack = _pack([obj("b", "box", (0, 0, 0), (2, 2, 2), material_id="m")], [mat("m")])
+    o, d = _rays(
+        [[5, 0, 0], [0, 5, 0.2], [0.2, 0.1, -5]],
+        [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],
+    )
+    h = geometry.intersect_world(o, d, pack)
+    assert np.asarray(h.hit).all()
+    np.testing.assert_allclose(np.asarray(h.t), [4, 4, 4], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h.normal[1]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h.normal[2]), [0, 0, -1], atol=1e-6)
+
+
+def test_closest_hit_and_exclusion():
+    pack = _pack(
+        [
+            obj("near", "sphere", (0, 0, -3), (1, 0, 0), material_id="m"),
+            obj("far", "sphere", (0, 0, -8), (1, 0, 0), material_id="m"),
+        ],
+        [mat("m")],
+    )
+    o, d = _rays([[0, 0, 0]], [[0, 0, -1]])
+    h = geometry.intersect_world(o, d, pack)
+    assert int(h.obj_idx[0]) == 0 and float(h.t[0]) == pytest.approx(2.0, abs=1e-5)
+    # excluding the near sphere exposes the far one (glass-skip semantics)
+    h2 = geometry.intersect_world(o, d, pack, exclude_obj=jnp.array([0], jnp.int32))
+    assert int(h2.obj_idx[0]) == 1 and float(h2.t[0]) == pytest.approx(7.0, abs=1e-5)
+
+
+def test_occluded_respects_tmax():
+    pack = _pack([obj("s", "sphere", (0, 0, -5), (1, 0, 0), material_id="m")], [mat("m")])
+    o, d = _rays([[0, 0, 0], [0, 0, 0]], [[0, 0, -1], [0, 0, -1]])
+    blocked = geometry.occluded(o, d, pack, 0.001, jnp.array([10.0, 3.0], jnp.float32))
+    assert bool(blocked[0]) and not bool(blocked[1])
+
+
+def test_exit_distances():
+    o = jnp.array([[0, 0, 0]], jnp.float32)
+    d = jnp.array([[0, 0, -1]], jnp.float32)
+    ok, t = geometry.box_exit_t(o, d, jnp.array([[-1, -1, -4]], jnp.float32), jnp.array([[1, 1, 4]], jnp.float32))
+    assert bool(ok[0]) and float(t[0]) == pytest.approx(4.0, abs=1e-5)
+    ok, t = geometry.sphere_exit_t(o, d, jnp.array([[0, 0, 0]], jnp.float32), jnp.array([3.0], jnp.float32))
+    assert bool(ok[0]) and float(t[0]) == pytest.approx(3.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Optics
+# ---------------------------------------------------------------------------
+
+
+def test_reflect_matches_mirror_law():
+    v = jnp.array([[1, -1, 0]], jnp.float32) / np.sqrt(2)
+    n = jnp.array([[0, 1, 0]], jnp.float32)
+    r = np.asarray(optics.reflect(v, n))
+    np.testing.assert_allclose(r, np.array([[1, 1, 0]]) / np.sqrt(2), atol=1e-6)
+
+
+def test_refract_snell_law():
+    """Angle out obeys sin(t2) = eta * sin(t1)."""
+    theta1 = 0.5
+    v = jnp.array([[np.sin(theta1), -np.cos(theta1), 0]], jnp.float32)
+    n = jnp.array([[0, 1, 0]], jnp.float32)
+    eta = jnp.array([1.0 / 1.5], jnp.float32)
+    out = np.asarray(optics.refract(v, n, eta))[0]
+    sin_t2 = np.hypot(out[0], out[2])
+    assert sin_t2 == pytest.approx(np.sin(theta1) / 1.5, abs=1e-5)
+    assert out[1] < 0  # continues into the surface
+
+
+def test_refract_total_internal_reflection():
+    theta1 = 1.2  # beyond critical angle for eta=1.5
+    v = jnp.array([[np.sin(theta1), -np.cos(theta1), 0]], jnp.float32)
+    n = jnp.array([[0, 1, 0]], jnp.float32)
+    out = np.asarray(optics.refract(v, n, jnp.array([1.5], jnp.float32)))[0]
+    want = np.asarray(optics.reflect(v, n))[0]
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_schlick_limits():
+    # normal incidence for ior 1.5: r0 = (0.5/2.5)^2 = 0.04
+    r = float(optics.schlick(jnp.float32(1.0), jnp.float32(1.5)))
+    assert r == pytest.approx(0.04, abs=1e-6)
+    # grazing: -> 1
+    r = float(optics.schlick(jnp.float32(0.0), jnp.float32(1.5)))
+    assert r == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Sampling distributions
+# ---------------------------------------------------------------------------
+
+
+def _uniforms(n, seed=3):
+    r = LaneRng(rng.seed_lanes(jnp.arange(n), jnp.full((n,), 11, jnp.uint32), seed))
+    return r
+
+
+def test_cosine_direction_distribution():
+    n = 20000
+    r = _uniforms(n)
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    d = np.asarray(sampling.cosine_direction(normal, r.next(), r.next()))
+    # all in upper hemisphere; E[cos] = 2/3 for cosine-weighted
+    assert (d[:, 2] > -1e-6).all()
+    assert abs(d[:, 2].mean() - 2 / 3) < 0.02
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+
+
+def test_unit_ball_distribution():
+    n = 20000
+    r = _uniforms(n, seed=5)
+    p = np.asarray(sampling.unit_ball(r.next(), r.next(), r.next()))
+    rad = np.linalg.norm(p, axis=1)
+    assert rad.max() <= 1.0 + 1e-5
+    # E[r] for uniform ball = 3/4
+    assert abs(rad.mean() - 0.75) < 0.01
+
+
+def test_sphere_surface_uniform():
+    n = 20000
+    r = _uniforms(n, seed=9)
+    d = np.asarray(sampling.sphere_surface(r.next(), r.next()))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+    assert np.abs(d.mean(axis=0)).max() < 0.02
+
+
+def test_ggx_stays_above_surface():
+    n = 10000
+    r = _uniforms(n, seed=13)
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    incident = jnp.broadcast_to(
+        jnp.asarray(np.array([0.6, 0, -0.8], np.float32)), (n, 3)
+    )
+    for rough in (0.05, 0.3, 0.9):
+        d = np.asarray(
+            sampling.sample_ggx(incident, normal, jnp.full((n,), rough, jnp.float32), r.next(), r.next())
+        )
+        assert (d[:, 2] > 0).mean() > 0.999  # upper hemisphere (with mirror fallback)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
+    # low roughness concentrates around the mirror direction [0.6, 0, 0.8]
+    d = np.asarray(
+        sampling.sample_ggx(incident, normal, jnp.full((n,), 0.05, jnp.float32), r.next(), r.next())
+    )
+    mean = d.mean(axis=0)
+    assert mean[2] > 0.7 and mean[0] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Sky
+# ---------------------------------------------------------------------------
+
+
+def test_sky_modes():
+    from path_trace_golang_tpu.soa import pack_scene as ps
+
+    up = jnp.array([[0, 1, 0], [0, -1, 0]], jnp.float32)
+
+    sc = S.Scene(camera=base_camera(), sky=S.Sky(type="gradient", horizon=S.Color(1, 0, 0), zenith=S.Color(0, 0, 1)))
+    p = ps(sc)
+    got = np.asarray(sky.background_color(up, p.sky))
+    np.testing.assert_allclose(got[0], [0, 0, 1], atol=1e-6)  # zenith at y=+1
+    np.testing.assert_allclose(got[1], [1, 0, 0], atol=1e-6)  # horizon at y=-1
+
+    sc = S.Scene(camera=base_camera(), sky=S.Sky(type="solid", color=S.Color(0.3, 0.4, 0.5)))
+    got = np.asarray(sky.background_color(up, ps(sc).sky))
+    np.testing.assert_allclose(got, [[0.3, 0.4, 0.5]] * 2, atol=1e-6)
+
+    sc = S.Scene(camera=base_camera(), background=S.Color(0.9, 0.1, 0.2))  # legacy
+    got = np.asarray(sky.background_color(up, ps(sc).sky))
+    np.testing.assert_allclose(got, [[0.9, 0.1, 0.2]] * 2, atol=1e-6)
