@@ -98,6 +98,20 @@ def _norm(v):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _F(1e-20)))
 
 
+def _material_rows(pack: ScenePack, mat_idx):
+    """Fetch per-lane material rows f32[N,20] via one-hot matmul.
+
+    TPU gathers lower to slow scalar loops; a [N,M] one-hot times the
+    [M,20] material table instead rides the MXU and fetches all 20 fields
+    in one shot (material counts are tiny, M <= ~30).
+    """
+    m = pack.mat.shape[0]
+    onehot = (mat_idx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )
+    return jnp.dot(onehot, pack.mat, preferred_element_type=jnp.float32)
+
+
 def _max3(v):
     return jnp.maximum(v[:, 0], jnp.maximum(v[:, 1], v[:, 2]))
 
@@ -143,17 +157,17 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
     Returns (new_dir, attenuation, radiance, scattered_ok, enter_glass,
     exit_glass, travel_distance).
     """
-    mi = hit.mat_idx
-    typ = pack.mat_type[mi]
-    rough = pack.mat_rough[mi]
-    ior = pack.mat_ior[mi]
-    smoothness = pack.mat_smoothness[mi]
-    albedo = pack.mat_albedo[mi]
-    reflectivity = pack.mat_reflectivity[mi]
-    emit = pack.mat_emit[mi]
-    absorption = pack.mat_absorption[mi]
-    abs_scale = pack.mat_absorption_scale[mi]
-    tint = pack.mat_tint[mi]
+    rows = _material_rows(pack, hit.mat_idx)
+    typ = jnp.round(rows[:, 0]).astype(jnp.int32)
+    rough = rows[:, 1]
+    ior = rows[:, 2]
+    smoothness = rows[:, 3]
+    albedo = rows[:, 4:7]
+    reflectivity = rows[:, 7]
+    emit = rows[:, 8:11]
+    absorption = rows[:, 12:15]
+    abs_scale = rows[:, 15]
+    tint = rows[:, 16:19]
 
     n = hit.normal
     p = hit.p
@@ -216,8 +230,9 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
     if cfg.has_rough_metal and cfg.enable_nee:
         refl_orig = p + n * _F(0.001)
         rhit = intersect_world(refl_orig, mirror_dir, pack, _F(0.001))
-        r_emit = pack.mat_emit[rhit.mat_idx]
-        r_is_emissive = pack.mat_type[rhit.mat_idx] == MAT_EMISSIVE
+        r_rows = _material_rows(pack, rhit.mat_idx)
+        r_emit = r_rows[:, 8:11]
+        r_is_emissive = jnp.round(r_rows[:, 0]).astype(jnp.int32) == MAT_EMISSIVE
         dist_sq = jnp.maximum(rhit.t * rhit.t, _F(1e-20))
         cos_light = jnp.maximum(_F(0), jnp.sum(rhit.normal * -mirror_dir, axis=-1))
         direct_reflect = r_emit * (cos_light / dist_sq)[:, None]
@@ -255,10 +270,11 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
         enter_glass = refracting & entering
         exit_glass = refracting & ~entering
 
-        # travel distance through own object (gpu.go:1547-1592)
-        own_type = pack.obj_type[hit.obj_idx]
-        own_pos = pack.obj_pos[hit.obj_idx]
-        own_size = pack.obj_size[hit.obj_idx]
+        # travel distance through own object (gpu.go:1547-1592); the hit
+        # record carries the winner's geometry, so no table gathers
+        own_type = hit.obj_type
+        own_pos = hit.obj_pos
+        own_size = hit.obj_size
         exit_orig = p + diel_dir * _F(0.001)
         half = own_size * _F(0.5)
         b_ok, b_t = geometry.box_exit_t(exit_orig, diel_dir, own_pos - half, own_pos + half)
@@ -421,52 +437,43 @@ def _dielectric_exit_scan(orig, dirv, pack: ScenePack):
     (renderer.go:316-371): candidates must be dielectric, not front-facing,
     with squared distance from the ray origin in (1e-8, 1000).
 
+    Unrolled over the static object list, visiting only dielectric objects.
     Returns (found bool[N], exit_p f32[N,3]).
     """
-    t = geometry._candidate_t(orig, dirv, pack, _F(1e-4))  # exitTMin (renderer.go:322)
-    m = pack.obj.shape[0]
-    pos = pack.obj_pos  # [M,3]
-    size = pack.obj_size
-    otype = pack.obj_type
+    ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
+    dx, dy, dz = dirv[:, 0], dirv[:, 1], dirv[:, 2]
+    best_t = jnp.full(orig.shape[:1], BIG_T)
 
-    t_safe = jnp.where(t < BIG_T, t, _F(0.0))
-    p = orig[:, None, :] + dirv[:, None, :] * t_safe[..., None]  # [N,M,3]
+    for m, typ, (cx, cy, cz), (sx, sy, sz), t, ok in geometry._object_candidates(
+        orig, dirv, pack, _F(1e-4)  # exitTMin (renderer.go:322)
+    ):
+        if pack.mat_types[pack.obj_mats[m]] != MAT_DIELECTRIC:
+            continue
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        if typ == OBJ_SPHERE:
+            # backface iff dot(dir, p - center) >= 0
+            front = (dx * (px - cx) + dy * (py - cy) + dz * (pz - cz)) < 0
+        elif typ == OBJ_PLANE:
+            front = dy < 0
+        else:  # box: nearest-face normal chain (objects.go:186-219 analog)
+            hx, hy, hz = sx * _F(0.5), sy * _F(0.5), sz * _F(0.5)
+            lx, ly, lz = px - cx, py - cy, pz - cz
+            eps = _F(1e-4)
+            on_x = jnp.abs(jnp.abs(lx) - hx) < eps
+            on_y = jnp.abs(jnp.abs(ly) - hy) < eps
+            ndot = jnp.where(
+                on_x,
+                dx * jnp.sign(lx),
+                jnp.where(on_y, dy * jnp.sign(ly), dz * jnp.sign(lz)),
+            )
+            front = ndot < 0
+        dist_sq = (px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2
+        ok = ok & ~front & (dist_sq > _F(1e-8)) & (dist_sq < _F(1000.0))
+        best_t = jnp.where(ok & (t < best_t), t, best_t)
 
-    radius = jnp.where(size[None, :, 0] != 0, size[None, :, 0], _F(1.0))
-    out_sphere = (p - pos[None, :, :]) / radius[..., None]
-    half = size[None, :, :] * _F(0.5)
-    local = p - pos[None, :, :]
-    abs_local = jnp.abs(local)
-    eps = _F(1e-4)
-    on_x = jnp.abs(abs_local[..., 0] - half[..., 0]) < eps
-    on_y = jnp.abs(abs_local[..., 1] - half[..., 1]) < eps
-    sgn = jnp.sign(local)
-    zeros = jnp.zeros_like(sgn[..., 0])
-    out_box = jnp.where(
-        on_x[..., None],
-        jnp.stack([sgn[..., 0], zeros, zeros], axis=-1),
-        jnp.where(
-            on_y[..., None],
-            jnp.stack([zeros, sgn[..., 1], zeros], axis=-1),
-            jnp.stack([zeros, zeros, sgn[..., 2]], axis=-1),
-        ),
-    )
-    plane_n = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
-    outward = jnp.where(
-        (otype == OBJ_SPHERE)[None, :, None],
-        out_sphere,
-        jnp.where((otype == OBJ_PLANE)[None, :, None], plane_n, out_box),
-    )
-    front = jnp.sum(dirv[:, None, :] * outward, axis=-1) < 0
-
-    is_diel = (pack.mat_type[pack.obj_mat] == MAT_DIELECTRIC)[None, :]
-    delta = p - orig[:, None, :]
-    dist_sq = jnp.sum(delta * delta, axis=-1)
-    ok = (t < BIG_T) & is_diel & ~front & (dist_sq > _F(1e-8)) & (dist_sq < _F(1000.0))
-    t_m = jnp.where(ok, t, BIG_T)
-    idx = jnp.argmin(t_m, axis=-1)
-    found = jnp.take_along_axis(t_m, idx[:, None], axis=-1)[:, 0] < BIG_T
-    exit_p = jnp.take_along_axis(p, idx[:, None, None], axis=1)[:, 0, :]
+    found = best_t < BIG_T
+    t_safe = jnp.where(found, best_t, _F(0.0))
+    exit_p = orig + dirv * t_safe[:, None]
     return found, exit_p
 
 
@@ -497,21 +504,21 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         radiance = radiance + jnp.where(miss[:, None], throughput * bg, _F(0.0))
         alive = alive & hit.hit
 
-        mi = hit.mat_idx
-        typ = pack.mat_type[mi]
-        albedo = pack.mat_albedo[mi]
-        emit = pack.mat_emit[mi]
+        rows = _material_rows(pack, hit.mat_idx)
+        typ = jnp.round(rows[:, 0]).astype(jnp.int32)
+        albedo = rows[:, 4:7]
+        emit = rows[:, 8:11]
         # CPU loader: metal rough = 1 - smoothness when smoothness > 0
         # (materials.go:36-39); lambert rough straight from scene.
-        smoothness = pack.mat_smoothness[mi]
-        rough_raw = pack.mat_rough[mi]
+        smoothness = rows[:, 3]
+        rough_raw = rows[:, 1]
         rough = jnp.where(
             (typ == MAT_METAL) & (smoothness > 0),
             jnp.clip(_F(1.0) - smoothness, _F(0.0), _F(1.0)),
             jnp.clip(rough_raw, _F(0.0), _F(1.0)),
         )
-        ior = jnp.where(pack.mat_ior[mi] == 0, _F(1.5), pack.mat_ior[mi])  # materials.go:42-45
-        absorption = pack.mat_absorption[mi]
+        ior = jnp.where(rows[:, 2] == 0, _F(1.5), rows[:, 2])  # materials.go:42-45
+        absorption = rows[:, 12:15]
 
         nrm = hit.normal
         p = hit.p

@@ -121,21 +121,35 @@ def apply_legacy_fog(radiance, distance, fog_block):
 def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
     """Single-scatter in-fog lighting at ``pos`` (gpu.go:1208-1297).
 
-    Loops over the emissive-light list (static count), samples each sphere
-    light's surface, casts an un-offset shadow ray, weights by the HG phase
-    for the camera direction, sums, doubles (deliberate x2 boost,
-    gpu.go:1283) and luminance-clamps at 500.
+    Unrolls the (static) emissive-light list, samples each sphere light's
+    surface, casts an un-offset shadow ray, weights by the HG phase for
+    the camera direction, sums, doubles (deliberate x2 boost, gpu.go:1283)
+    and luminance-clamps at 500.  Light constants are traced scalars — no
+    gathers.
     """
+    from ..soa import OBJ_SPHERE
+
     fog_block = pack.fog
     g = fog_block[10]
     out = jnp.zeros_like(pos)
     for i in range(pack.n_lights):
-        light_obj = jnp.broadcast_to(pack.light_idx[i], pos.shape[:1])
-        valid, light_pos, light_n, pdf_area = _sample_light(light_obj, pack, rng)
+        lo = pack.light_objs[i]
+        u1 = rng.next()
+        u2 = rng.next()
+        if pack.obj_types[lo] != OBJ_SPHERE:
+            continue  # reference skips non-sphere area sampling (gpu.go:917-918)
+        center = pack.obj[lo, 4:7]
+        radius = pack.obj[lo, 8]
+        emit = pack.mat[pack.obj_mats[lo], 8:11]
+
+        light_n = sampling.sphere_surface(u1, u2)
+        light_pos = center[None, :] + radius * light_n
+        area = _F(4.0) * PI * radius * radius
+        pdf = _F(1.0) / jnp.maximum(area, _F(1e-20))
 
         to_light = light_pos - pos
         dist_sq = jnp.sum(to_light * to_light, axis=-1)
-        valid = valid & (dist_sq > _F(1e-6))
+        valid = dist_sq > _F(1e-6)
         dist = jnp.sqrt(jnp.maximum(dist_sq, _F(1e-20)))
         wi = to_light / dist[:, None]
 
@@ -148,9 +162,8 @@ def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
         cos_theta = jnp.sum(-wi * view_dir, axis=-1)
         phase = phase_hg(cos_theta, g)
 
-        emit = pack.mat_emit[pack.obj_mat[light_obj]]
         geom = cos_light / jnp.maximum(_F(1e-6), dist_sq)
-        contrib = emit * (geom * phase / jnp.maximum(_F(1e-6), pdf_area))[:, None]
+        contrib = emit[None, :] * (geom * phase / jnp.maximum(_F(1e-6), pdf))[:, None]
         out = out + jnp.where(valid[:, None], contrib, _F(0.0))
 
     out = out * _F(2.0)
@@ -161,18 +174,3 @@ def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
     out = out * scale[:, None]
     # fogScatter <= 0 disables volume lighting entirely (gpu.go:1209-1211)
     return jnp.where(fog_block[1] > 0, out, _F(0.0))
-
-
-def _sample_light(obj_idx, pack: ScenePack, rng: LaneRng):
-    from ..soa import OBJ_SPHERE
-
-    otype = pack.obj_type[obj_idx]
-    center = pack.obj_pos[obj_idx]
-    radius = pack.obj_size[obj_idx, 0]
-    u1 = rng.next()
-    u2 = rng.next()
-    normal = sampling.sphere_surface(u1, u2)
-    light_pos = center + radius[:, None] * normal
-    area = _F(4.0) * PI * radius * radius
-    pdf = _F(1.0) / jnp.maximum(area, _F(1e-20))
-    return (otype == OBJ_SPHERE) & (pdf > 0), light_pos, normal, pdf

@@ -110,16 +110,10 @@ def render_settings_for_mode(mode: str) -> RenderSettings:
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tcfg", "width", "height", "n_strata", "samples", "has_aperture", "chunk", "normalize_pass"),
-    donate_argnames=("accum",),
-)
-def _render_pass_chunk(
-    accum,
+def trace_pass_lanes(
     pack: ScenePack,
     frame_seed,
-    start,
+    idx,
     *,
     tcfg: TraceConfig,
     width: int,
@@ -127,15 +121,15 @@ def _render_pass_chunk(
     n_strata: int,
     samples: int,
     has_aperture: bool,
-    chunk: int,
     normalize_pass: bool,
 ):
-    """Trace one pass for ``chunk`` consecutive lanes; add into accum.
+    """Trace one full pass for the given flat pixel indices ``idx`` (i32[N]).
 
     Sample loop follows the shader's main() (gpu.go:1673-1732): per sample,
-    draw the stratum jitter, build the camera ray, trace, sum.
+    draw the stratum jitter, build the camera ray, trace, sum.  Shared by
+    the single-chip chunked driver and the shard_map multi-chip driver.
+    Returns (col f32[N,3], segments i32).
     """
-    idx = start + jnp.arange(chunk, dtype=jnp.int32)
     px = idx % width
     py = idx // width
     state0 = seed_lanes(px, py, frame_seed)
@@ -163,13 +157,49 @@ def _render_pass_chunk(
         rad, new_state, seg = trace(orig, dirv, rng.state, pack, tcfg)
         return new_state, col + rad, segs + seg
 
-    col0 = jnp.zeros((chunk, 3), dtype=jnp.float32)
+    col0 = jnp.zeros((idx.shape[0], 3), dtype=jnp.float32)
     _state, col, segs = lax.fori_loop(
         0, samples, sample_body, (state0, col0, jnp.zeros((), jnp.int32))
     )
     if normalize_pass:
         col = col * _F(1.0 / samples)
+    return col, segs
 
+
+@partial(
+    jax.jit,
+    static_argnames=("tcfg", "width", "height", "n_strata", "samples", "has_aperture", "chunk", "normalize_pass"),
+    donate_argnames=("accum",),
+)
+def _render_pass_chunk(
+    accum,
+    pack: ScenePack,
+    frame_seed,
+    start,
+    *,
+    tcfg: TraceConfig,
+    width: int,
+    height: int,
+    n_strata: int,
+    samples: int,
+    has_aperture: bool,
+    chunk: int,
+    normalize_pass: bool,
+):
+    """Trace one pass for ``chunk`` consecutive lanes; add into accum."""
+    idx = start + jnp.arange(chunk, dtype=jnp.int32)
+    col, segs = trace_pass_lanes(
+        pack,
+        frame_seed,
+        idx,
+        tcfg=tcfg,
+        width=width,
+        height=height,
+        n_strata=n_strata,
+        samples=samples,
+        has_aperture=has_aperture,
+        normalize_pass=normalize_pass,
+    )
     cur = lax.dynamic_slice(accum, (start, jnp.int32(0)), (chunk, 3))
     accum = lax.dynamic_update_slice(accum, cur + col, (start, jnp.int32(0)))
     return accum, segs

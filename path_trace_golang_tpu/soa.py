@@ -93,6 +93,14 @@ class ScenePack:
     n_objects: int = dataclasses.field(metadata=dict(static=True))
     n_materials: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
+    # Static topology mirrors of obj[:,0] / obj[:,1]: scene topology is a
+    # compile-time constant on TPU (XLA static-shape model), which lets the
+    # intersection sweep unroll per-object with only each object's needed
+    # primitive test emitted and zero runtime gathers.
+    obj_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    obj_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    light_objs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    mat_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     # ---- unpacked views used by the kernels (cheap in-jit slices) ----
     @property
@@ -293,4 +301,8 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         n_objects=o_count,
         n_materials=m_count,
         n_lights=n_lights,
+        obj_types=tuple(int(t) for t in obj[:o_count, 0]) if o_count else (),
+        obj_mats=tuple(int(m) for m in obj[:o_count, 1]) if o_count else (),
+        light_objs=tuple(int(i) for i in light_list),
+        mat_types=tuple(int(t) for t in mat[:m_count, 0]) if m_count else (),
     )
