@@ -14,24 +14,25 @@ flight): a ``lax.while_loop`` whose per-lane state carries throughput /
 radiance / alive masks.  There is no warp divergence to fight on TPU —
 every material branch is evaluated for the full lane vector and lanes
 select their branch with masks, which is the reference shader's own
-execution model on a SIMT GPU.  Deliberate deviations from the reference
-are listed in PHYSICS.md (D1-D5).
+execution model on a SIMT GPU.  All lane state is component-wise
+(ops/vec.py) on [rows, 128] grids for full VPU lane utilization.
+Deliberate deviations from the reference are listed in PHYSICS.md (D1-D5).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .ops import fog as fog_ops
-from .ops import geometry, lights, optics, sampling
+from .ops import geometry, optics, sampling
+from .ops import lights as lights_ops
 from .ops.geometry import BIG_T, Hit, intersect_world
 from .ops.rng import LaneRng
+from .ops.sky import background_color
+from .ops.vec import LANE, V3
 from .soa import (
     MAT_DIELECTRIC,
     MAT_EMISSIVE,
@@ -44,7 +45,7 @@ from .soa import (
     ScenePack,
 )
 
-__all__ = ["TraceConfig", "trace", "trace_config_for_scene"]
+__all__ = ["TraceConfig", "trace", "trace_grid", "trace_config_for_scene"]
 
 _F = jnp.float32
 
@@ -94,84 +95,57 @@ def trace_config_for_scene(sc_pack: ScenePack, scene, max_depth: int, contract: 
     )
 
 
-def _norm(v):
-    return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _F(1e-20)))
-
-
-def _material_rows(pack: ScenePack, mat_idx):
-    """Fetch per-lane material rows f32[N,20] via one-hot matmul.
-
-    TPU gathers lower to slow scalar loops; a [N,M] one-hot times the
-    [M,20] material table instead rides the MXU and fetches all 20 fields
-    in one shot (material counts are tiny, M <= ~30).
-    """
-    m = pack.mat.shape[0]
-    onehot = (mat_idx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(
-        jnp.float32
-    )
-    return jnp.dot(onehot, pack.mat, preferred_element_type=jnp.float32)
-
-
-def _max3(v):
-    return jnp.maximum(v[:, 0], jnp.maximum(v[:, 1], v[:, 2]))
-
-
 # ---------------------------------------------------------------------------
 # GPU contract
 # ---------------------------------------------------------------------------
 
 
-def _fog_prepass(orig, dirv, state, pack: ScenePack):
+def _fog_prepass(orig: V3, dirv: V3, state, pack: ScenePack):
     """Single-scatter march along the primary ray (gpu.go:1311-1341).
 
     24 fixed steps to min(firstHit, 40); per step, transmittance
     ``exp(-sigma_t(pos) * t)`` times the in-fog light estimate.
-    Returns (radiance_add f32[N,3], rng_state).
+    Returns (radiance_add V3, rng_state).
     """
     hit = intersect_world(orig, dirv, pack, _F(0.001))
-    t_max = jnp.minimum(jnp.where(hit.hit, hit.t, fog_ops.FOG_MARCH_TMAX), fog_ops.FOG_MARCH_TMAX)
+    t_max = jnp.minimum(
+        jnp.where(hit.hit, hit.t, fog_ops.FOG_MARCH_TMAX), fog_ops.FOG_MARCH_TMAX
+    )
     step = t_max * _F(1.0 / fog_ops.FOG_MARCH_STEPS)
-    fog_color = pack.fog[4:7]
+    shape = orig.x.shape
+    fog_color = V3.broadcast_scalars(shape, pack.fog[4], pack.fog[5], pack.fog[6])
 
     def body(i, carry):
-        radiance, st = carry
+        rad, st = carry
         rng = LaneRng(st)
         t = (i.astype(jnp.float32) + _F(0.5)) * step
-        pos = orig + dirv * t[:, None]
+        pos = orig + dirv * t
         sigma_s, _sigma_a, sigma_t = fog_ops.medium_coeffs(pos, pack.fog)
         tr = jnp.exp(-sigma_t * t)
         ls = fog_ops.estimate_volume_light(pos, dirv, pack, rng)
-        dl = fog_color[None, :] * ls * (sigma_s * tr * step)[:, None]
+        dl = fog_color * ls * (sigma_s * tr * step)
         ok = (sigma_t > 0) & (sigma_s > 0) & (step > 0)
-        radiance = radiance + jnp.where(ok[:, None], dl, _F(0.0))
-        return radiance, rng.state
+        rad = rad + V3.where(ok, dl, V3.zeros(shape))
+        return rad, rng.state
 
-    radiance0 = jnp.zeros_like(orig)
-    radiance, state = lax.fori_loop(0, fog_ops.FOG_MARCH_STEPS, body, (radiance0, state))
-    return radiance, state
+    rad, state = lax.fori_loop(0, fog_ops.FOG_MARCH_STEPS, body, (V3.zeros(shape), state))
+    return rad, state
 
 
-def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePack, cfg: TraceConfig):
+def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, pack: ScenePack, cfg: TraceConfig):
     """One GPU-contract surface interaction for all lanes (gpu.go:1398-1646).
 
+    Material constants come from the hit record (select-chain, gather-free).
     Returns (new_dir, attenuation, radiance, scattered_ok, enter_glass,
-    exit_glass, travel_distance).
+    exit_glass, travel, absorption, abs_scale, tint).
     """
-    rows = _material_rows(pack, hit.mat_idx)
-    typ = jnp.round(rows[:, 0]).astype(jnp.int32)
-    rough = rows[:, 1]
-    ior = rows[:, 2]
-    smoothness = rows[:, 3]
-    albedo = rows[:, 4:7]
-    reflectivity = rows[:, 7]
-    emit = rows[:, 8:11]
-    absorption = rows[:, 12:15]
-    abs_scale = rows[:, 15]
-    tint = rows[:, 16:19]
+    shape = dirv.x.shape
+    zero3 = V3.zeros(shape)
 
+    typ = hit.mtyp
     n = hit.normal
     p = hit.p
-    view_dir = _norm(dirv)
+    view_dir = dirv.normalize()
 
     is_lambert = typ == MAT_LAMBERT
     is_metal = typ == MAT_METAL
@@ -180,29 +154,25 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
     is_emissive = typ == MAT_EMISSIVE
 
     # emissive adds Le (gpu.go:1409-1411)
-    radiance = radiance + jnp.where(is_emissive[:, None], throughput * emit, _F(0.0))
+    radiance = radiance + V3.where(is_emissive, throughput * hit.emit, zero3)
 
     # ---- Lambert: cosine bounce + NEE (gpu.go:1419-1425) ----
-    u1 = rng.next()
-    u2 = rng.next()
-    lambert_dir = sampling.cosine_direction(n, u1, u2)
+    lambert_dir = sampling.cosine_direction(n, rng.next(), rng.next())
     if cfg.enable_nee and pack.n_lights > 0:
-        direct = lights.estimate_direct_light(p, n, albedo, pack, rng)
+        direct = lights_ops.estimate_direct_light(p, n, hit.albedo, pack, rng)
     else:
-        direct = jnp.zeros_like(p)
-    radiance = radiance + jnp.where(is_lambert[:, None], throughput * direct, _F(0.0))
+        direct = zero3
+    radiance = radiance + V3.where(is_lambert, throughput * direct, zero3)
 
     # ---- Metal / mirror (gpu.go:1427-1496) ----
-    metal_rough = jnp.where(smoothness > 0, _F(1.0) - smoothness, rough)
-    eff_refl = jnp.where(reflectivity > 0, reflectivity, _F(1.0))
+    metal_rough = jnp.where(hit.smoothness > 0, _F(1.0) - hit.smoothness, hit.rough)
+    eff_refl = jnp.where(hit.reflectivity > 0, hit.reflectivity, _F(1.0))
     is_rough_metal = is_metal & (metal_rough > _F(1e-4))
 
     mirror_dir = optics.reflect(view_dir, n)
     if cfg.has_rough_metal:
-        g1 = rng.next()
-        g2 = rng.next()
-        ggx_dir = sampling.sample_ggx(view_dir, n, metal_rough, g1, g2)
-        metal_dir = jnp.where(is_rough_metal[:, None], ggx_dir, mirror_dir)
+        ggx_dir = sampling.sample_ggx(view_dir, n, metal_rough, rng.next(), rng.next())
+        metal_dir = V3.where(is_rough_metal, ggx_dir, mirror_dir)
     else:
         metal_dir = mirror_dir
 
@@ -212,17 +182,17 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
     # rough-metal diffuse NEE reuses the same unbiased estimator computed
     # above (the shader calls estimateDirectLight again on a disjoint
     # thread branch; one evaluation per lane is statistically identical).
-    radiance = radiance + jnp.where(
-        is_rough_metal[:, None],
-        throughput * direct * (diff_w * eff_refl * _F(0.5))[:, None],
-        _F(0.0),
+    radiance = radiance + V3.where(
+        is_rough_metal,
+        throughput * direct * (diff_w * eff_refl * _F(0.5)),
+        zero3,
     )
-    atten_metal = jnp.where(
-        is_rough_metal[:, None],
-        albedo * (spec_w * eff_refl + diff_w * _F(0.3))[:, None],
-        albedo * eff_refl[:, None],
+    atten_metal = V3.where(
+        is_rough_metal,
+        hit.albedo * (spec_w * eff_refl + diff_w * _F(0.3)),
+        hit.albedo * eff_refl,
     )
-    metal_dot = jnp.sum(metal_dir * n, axis=-1)
+    metal_dot = metal_dir.dot(n)
     metal_dead = (is_metal | is_mirror) & (metal_dot <= _F(1e-6))
 
     # rough-metal "specular NEE": trace the perfect reflection, credit
@@ -230,27 +200,24 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
     if cfg.has_rough_metal and cfg.enable_nee:
         refl_orig = p + n * _F(0.001)
         rhit = intersect_world(refl_orig, mirror_dir, pack, _F(0.001))
-        r_rows = _material_rows(pack, rhit.mat_idx)
-        r_emit = r_rows[:, 8:11]
-        r_is_emissive = jnp.round(r_rows[:, 0]).astype(jnp.int32) == MAT_EMISSIVE
         dist_sq = jnp.maximum(rhit.t * rhit.t, _F(1e-20))
-        cos_light = jnp.maximum(_F(0), jnp.sum(rhit.normal * -mirror_dir, axis=-1))
-        direct_reflect = r_emit * (cos_light / dist_sq)[:, None]
-        ok = is_rough_metal & ~metal_dead & rhit.hit & r_is_emissive
-        radiance = radiance + jnp.where(
-            ok[:, None], throughput * direct_reflect * albedo * _F(0.5), _F(0.0)
+        cos_light = jnp.maximum(_F(0), -(rhit.normal.dot(mirror_dir)))
+        direct_reflect = rhit.emit * (cos_light / dist_sq)
+        ok = is_rough_metal & ~metal_dead & rhit.hit & (rhit.mtyp == MAT_EMISSIVE)
+        radiance = radiance + V3.where(
+            ok, throughput * direct_reflect * hit.albedo * _F(0.5), zero3
         )
 
     # ---- Dielectric (gpu.go:1498-1642) ----
-    enter_glass = jnp.zeros_like(is_diel)
-    exit_glass = jnp.zeros_like(is_diel)
-    travel = jnp.zeros_like(rough)
-    atten_diel = jnp.ones_like(p)
+    enter_glass = jnp.zeros(shape, bool)
+    exit_glass = jnp.zeros(shape, bool)
+    travel = jnp.zeros(shape, jnp.float32)
+    atten_diel = V3.full(shape, 1.0)
     diel_dir = mirror_dir
     if cfg.has_dielectric:
-        cos_t = jnp.minimum(jnp.sum(-view_dir * n, axis=-1), _F(1.0))
-        sin2 = jnp.maximum(_F(0.0), _F(1.0) - cos_t * cos_t)
-        sin_t = jnp.sqrt(sin2)
+        ior = hit.ior
+        cos_t = jnp.minimum(-(view_dir.dot(n)), _F(1.0))
+        sin_t = jnp.sqrt(jnp.maximum(_F(0.0), _F(1.0) - cos_t * cos_t))
         entering = hit.front_face
         inv_ior = _F(1.0) / jnp.maximum(ior, _F(1e-6))
         eta = jnp.where(entering, inv_ior, ior)
@@ -264,7 +231,7 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
         do_reflect = tir | (u_fresnel < reflect_prob)
 
         refr_dir = optics.refract(view_dir, n, eta)
-        diel_dir = _norm(jnp.where(do_reflect[:, None], optics.reflect(view_dir, n), refr_dir))
+        diel_dir = V3.where(do_reflect, optics.reflect(view_dir, n), refr_dir).normalize()
 
         refracting = is_diel & ~do_reflect
         enter_glass = refracting & entering
@@ -272,73 +239,80 @@ def _shade_gpu(hit: Hit, dirv, throughput, radiance, rng: LaneRng, pack: ScenePa
 
         # travel distance through own object (gpu.go:1547-1592); the hit
         # record carries the winner's geometry, so no table gathers
-        own_type = hit.obj_type
-        own_pos = hit.obj_pos
-        own_size = hit.obj_size
         exit_orig = p + diel_dir * _F(0.001)
-        half = own_size * _F(0.5)
-        b_ok, b_t = geometry.box_exit_t(exit_orig, diel_dir, own_pos - half, own_pos + half)
-        s_ok, s_t = geometry.sphere_exit_t(exit_orig, diel_dir, own_pos, own_size[:, 0])
+        half = hit.obj_size * _F(0.5)
+        b_ok, b_t = geometry.box_exit_t(exit_orig, diel_dir, hit.obj_pos - half, hit.obj_pos + half)
+        s_ok, s_t = geometry.sphere_exit_t(exit_orig, diel_dir, hit.obj_pos, hit.obj_size.x)
         travel = jnp.where(
-            (own_type == OBJ_BOX) & b_ok,
+            (hit.obj_type == OBJ_BOX) & b_ok,
             b_t,
-            jnp.where((own_type == OBJ_SPHERE) & s_ok, s_t, _F(0.0)),
+            jnp.where((hit.obj_type == OBJ_SPHERE) & s_ok, s_t, _F(0.0)),
         )
         travel = jnp.where(enter_glass, travel, _F(0.0))
 
         # Beer–Lambert with the reference's 0.1 + 0.9*exp mix and tint
         # (gpu.go:1597-1638)
-        eff_abs = absorption * abs_scale[:, None]
-        absorb_enter = jnp.exp(-eff_abs * travel[:, None])
-        has_tint = jnp.any(tint > 0, axis=-1)
-        tint_mul = jnp.where(has_tint[:, None], tint, _F(1.0))
-        enter_mul = (_F(0.1) + absorb_enter * _F(0.9)) * tint_mul
-        atten_diel = jnp.where(
-            (enter_glass & (travel > 0))[:, None], enter_mul, atten_diel
-        )
+        eff_abs = hit.absorption * hit.abs_scale
+        absorb_enter = (-(eff_abs * travel)).exp()
+        has_tint = hit.tint.any_positive()
+        one3 = V3.full(shape, 1.0)
+        tint_mul = V3.where(has_tint, hit.tint, one3)
+        enter_mul = (absorb_enter * _F(0.9) + _F(0.1)) * tint_mul
+        atten_diel = V3.where(enter_glass & (travel > 0), enter_mul, atten_diel)
 
     # ---- combine ----
-    new_dir = jnp.where(
-        is_lambert[:, None],
-        lambert_dir,
-        jnp.where(is_diel[:, None], diel_dir, metal_dir),
-    )
-    attenuation = jnp.where(
-        is_lambert[:, None],
-        albedo,
-        jnp.where(
-            is_diel[:, None],
+    new_dir = V3.where(is_lambert, lambert_dir, V3.where(is_diel, diel_dir, metal_dir))
+    attenuation = V3.where(
+        is_lambert,
+        hit.albedo,
+        V3.where(
+            is_diel,
             atten_diel,
-            jnp.where((is_metal | is_mirror)[:, None], atten_metal, albedo),
+            V3.where(is_metal | is_mirror, atten_metal, hit.albedo),
         ),
     )
     # emissive (and any unknown type) stops the path; metal below-horizon
     # too.  PHYSICS.md D4: the shader computes scattered=false here but
     # never tests it — we terminate, matching the CPU contract's intent.
     scattered_ok = ~(is_emissive | metal_dead)
-    return new_dir, attenuation, radiance, scattered_ok, enter_glass, exit_glass, travel, absorption, abs_scale, tint
+    return (
+        new_dir,
+        attenuation,
+        radiance,
+        scattered_ok,
+        enter_glass,
+        exit_glass,
+        travel,
+        hit.absorption,
+        hit.abs_scale,
+        hit.tint,
+    )
 
 
-def _trace_gpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
-    n = orig.shape[0]
-    radiance = jnp.zeros_like(orig)
+def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
+    shape = orig.x.shape
+    radiance = V3.zeros(shape)
 
     if cfg.enable_fog_march:
         fog_on = pack.fog[3] > _F(0.5)
         fog_radiance, state = _fog_prepass(orig, dirv, state, pack)
-        radiance = radiance + jnp.where(fog_on, _F(1.0), _F(0.0)) * fog_radiance
+        gate = jnp.where(fog_on, _F(1.0), _F(0.0))
+        radiance = radiance + fog_radiance * gate
+        if active is not None:
+            radiance = V3.where(active, radiance, V3.zeros(shape))
 
-    throughput = jnp.ones_like(orig)
-    alive = jnp.ones((n,), dtype=bool)
-    glass_obj = jnp.full((n,), -1, dtype=jnp.int32)
-    glass_dist = jnp.zeros((n,), dtype=jnp.float32)
+    throughput = V3.full(shape, 1.0)
+    alive = jnp.ones(shape, dtype=bool) if active is None else active
+    glass_obj = jnp.full(shape, -1, dtype=jnp.int32)
+    glass_dist = jnp.zeros(shape, dtype=jnp.float32)
     segments = jnp.zeros((), dtype=jnp.int32)
 
     # legacy sky fog condition (gpu.go:1392)
     sky_fog = (pack.fog[0] > 0) & (pack.fog[2] > _F(0.5))
 
     def cond(carry):
-        d, _o, _dir, _tp, _rad, alive, _st, _go, _gd, _seg = carry
+        d = carry[0]
+        alive = carry[5]
         return (d < cfg.max_depth) & jnp.any(alive)
 
     def body(carry):
@@ -349,16 +323,16 @@ def _trace_gpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         hit = intersect_world(orig, dirv, pack, _F(0.001), exclude_obj=glass_obj)
 
         # miss -> sky (+ legacy fog), terminate (gpu.go:1389-1396)
-        unit_d = _norm(dirv)
-        from .ops.sky import background_color
-
+        unit_d = dirv.normalize()
         bg = background_color(unit_d, pack.sky)
         bg_fogged = fog_ops.apply_legacy_fog(bg, 50.0, pack.fog)
-        bg = jnp.where(sky_fog, bg_fogged, bg)
+        bg = V3.where(sky_fog, bg_fogged, bg)
         miss = alive & ~hit.hit
-        radiance = radiance + jnp.where(miss[:, None], throughput * bg, _F(0.0))
+        zero3 = V3.zeros(shape)
+        radiance = radiance + V3.where(miss, throughput * bg, zero3)
         alive = alive & hit.hit
 
+        live_throughput = V3.where(alive, throughput, zero3)
         (
             new_dir,
             attenuation,
@@ -370,19 +344,20 @@ def _trace_gpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
             absorption,
             abs_scale,
             tint,
-        ) = _shade_gpu(hit, dirv, jnp.where(alive[:, None], throughput, _F(0.0)), radiance, rng, pack, cfg)
+        ) = _shade_gpu(hit, dirv, live_throughput, radiance, rng, pack, cfg)
 
         # glass-state bookkeeping (gpu.go:1545, 1615, 1598, 1638)
         if cfg.has_dielectric:
             # exit applies Beer–Lambert on the *accumulated* distance with
             # the exited material's coefficients (gpu.go:1620-1637)
-            eff_abs = absorption * abs_scale[:, None]
-            absorb_exit = jnp.exp(-eff_abs * glass_dist[:, None])
-            has_tint = jnp.any(tint > 0, axis=-1)
-            tint_mul = jnp.where(has_tint[:, None], tint, _F(1.0))
-            exit_mul = (_F(0.1) + absorb_exit * _F(0.9)) * tint_mul
-            exit_apply = (alive & exit_glass & (glass_dist > 0))[:, None]
-            attenuation = jnp.where(exit_apply, attenuation * exit_mul, attenuation)
+            eff_abs = absorption * abs_scale
+            absorb_exit = (-(eff_abs * glass_dist)).exp()
+            has_tint = tint.any_positive()
+            one3 = V3.full(shape, 1.0)
+            tint_mul = V3.where(has_tint, tint, one3)
+            exit_mul = (absorb_exit * _F(0.9) + _F(0.1)) * tint_mul
+            exit_apply = alive & exit_glass & (glass_dist > 0)
+            attenuation = V3.where(exit_apply, attenuation * exit_mul, attenuation)
 
             enter_ok = alive & enter_glass
             exit_ok = alive & exit_glass
@@ -394,20 +369,18 @@ def _trace_gpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         # russian roulette on remaining depth (gpu.go:1648-1660)
         remaining = cfg.max_depth - d
         u_rr = rng.next()
-        max_comp = _max3(attenuation)
+        max_comp = attenuation.max_comp()
         rr_active = remaining <= cfg.rr_threshold
         rr_prob = jnp.minimum(max_comp, _F(0.95))
         rr_kill = rr_active & ((max_comp < _F(1e-6)) | (u_rr > rr_prob))
-        attenuation = jnp.where(
-            (rr_active & ~rr_kill)[:, None],
-            attenuation / jnp.maximum(rr_prob, _F(1e-6))[:, None],
-            attenuation,
-        )
+        rr_scale = jnp.where(rr_active & ~rr_kill, _F(1.0) / jnp.maximum(rr_prob, _F(1e-6)), _F(1.0))
+        attenuation = attenuation * rr_scale
 
         alive = alive & scattered_ok & ~rr_kill
-        throughput = jnp.where(alive[:, None], throughput * attenuation, throughput)
-        orig = jnp.where(alive[:, None], hit.p + hit.normal * _F(0.001), orig)
-        dirv = jnp.where(alive[:, None], new_dir, dirv)
+        throughput = V3.where(alive, throughput * attenuation, throughput)
+        new_orig = hit.p + hit.normal * _F(0.001)
+        orig = V3.where(alive, new_orig, orig)
+        dirv = V3.where(alive, new_dir, dirv)
         return (d + 1, orig, dirv, throughput, radiance, alive, rng.state, glass_obj, glass_dist, segments)
 
     carry = (
@@ -432,60 +405,56 @@ def _trace_gpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
 # ---------------------------------------------------------------------------
 
 
-def _dielectric_exit_scan(orig, dirv, pack: ScenePack):
+def _dielectric_exit_scan(orig: V3, dirv: V3, pack: ScenePack):
     """Closest dielectric *backface* hit along a refracted ray
     (renderer.go:316-371): candidates must be dielectric, not front-facing,
     with squared distance from the ray origin in (1e-8, 1000).
 
     Unrolled over the static object list, visiting only dielectric objects.
-    Returns (found bool[N], exit_p f32[N,3]).
+    Returns (found bool, exit_p V3).
     """
-    ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
-    dx, dy, dz = dirv[:, 0], dirv[:, 1], dirv[:, 2]
-    best_t = jnp.full(orig.shape[:1], BIG_T)
+    best_t = jnp.full(orig.x.shape, BIG_T)
 
     for m, typ, (cx, cy, cz), (sx, sy, sz), t, ok in geometry._object_candidates(
         orig, dirv, pack, _F(1e-4)  # exitTMin (renderer.go:322)
     ):
         if pack.mat_types[pack.obj_mats[m]] != MAT_DIELECTRIC:
             continue
-        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        px, py, pz = orig.x + dirv.x * t, orig.y + dirv.y * t, orig.z + dirv.z * t
         if typ == OBJ_SPHERE:
             # backface iff dot(dir, p - center) >= 0
-            front = (dx * (px - cx) + dy * (py - cy) + dz * (pz - cz)) < 0
+            front = (dirv.x * (px - cx) + dirv.y * (py - cy) + dirv.z * (pz - cz)) < 0
         elif typ == OBJ_PLANE:
-            front = dy < 0
+            front = dirv.y < 0
         else:  # box: nearest-face normal chain (objects.go:186-219 analog)
-            hx, hy, hz = sx * _F(0.5), sy * _F(0.5), sz * _F(0.5)
+            hx, hy = sx * _F(0.5), sy * _F(0.5)
             lx, ly, lz = px - cx, py - cy, pz - cz
             eps = _F(1e-4)
             on_x = jnp.abs(jnp.abs(lx) - hx) < eps
             on_y = jnp.abs(jnp.abs(ly) - hy) < eps
             ndot = jnp.where(
                 on_x,
-                dx * jnp.sign(lx),
-                jnp.where(on_y, dy * jnp.sign(ly), dz * jnp.sign(lz)),
+                dirv.x * jnp.sign(lx),
+                jnp.where(on_y, dirv.y * jnp.sign(ly), dirv.z * jnp.sign(lz)),
             )
             front = ndot < 0
-        dist_sq = (px - ox) ** 2 + (py - oy) ** 2 + (pz - oz) ** 2
+        dist_sq = (px - orig.x) ** 2 + (py - orig.y) ** 2 + (pz - orig.z) ** 2
         ok = ok & ~front & (dist_sq > _F(1e-8)) & (dist_sq < _F(1000.0))
         best_t = jnp.where(ok & (t < best_t), t, best_t)
 
     found = best_t < BIG_T
     t_safe = jnp.where(found, best_t, _F(0.0))
-    exit_p = orig + dirv * t_safe[:, None]
+    exit_p = orig + dirv * t_safe
     return found, exit_p
 
 
-def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
+def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
     """CPU-contract integrator (renderer.go:286-404, materials.go:74-224)."""
-    n = orig.shape[0]
-    radiance = jnp.zeros_like(orig)
-    throughput = jnp.ones_like(orig)
-    alive = jnp.ones((n,), dtype=bool)
+    shape = orig.x.shape
+    radiance = V3.zeros(shape)
+    throughput = V3.full(shape, 1.0)
+    alive = jnp.ones(shape, dtype=bool) if active is None else active
     segments = jnp.zeros((), dtype=jnp.int32)
-
-    from .ops.sky import background_color
 
     def cond(carry):
         d = carry[0]
@@ -496,33 +465,28 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         d, orig, dirv, throughput, radiance, alive, st, segments = carry
         segments = segments + jnp.sum(alive, dtype=jnp.int32)
         rng = LaneRng(st)
+        zero3 = V3.zeros(shape)
 
         hit = intersect_world(orig, dirv, pack, _F(0.001))
-        unit_d = _norm(dirv)
+        unit_d = dirv.normalize()
         bg = background_color(unit_d, pack.sky)
         miss = alive & ~hit.hit
-        radiance = radiance + jnp.where(miss[:, None], throughput * bg, _F(0.0))
+        radiance = radiance + V3.where(miss, throughput * bg, zero3)
         alive = alive & hit.hit
 
-        rows = _material_rows(pack, hit.mat_idx)
-        typ = jnp.round(rows[:, 0]).astype(jnp.int32)
-        albedo = rows[:, 4:7]
-        emit = rows[:, 8:11]
+        typ = hit.mtyp
         # CPU loader: metal rough = 1 - smoothness when smoothness > 0
         # (materials.go:36-39); lambert rough straight from scene.
-        smoothness = rows[:, 3]
-        rough_raw = rows[:, 1]
         rough = jnp.where(
-            (typ == MAT_METAL) & (smoothness > 0),
-            jnp.clip(_F(1.0) - smoothness, _F(0.0), _F(1.0)),
-            jnp.clip(rough_raw, _F(0.0), _F(1.0)),
+            (typ == MAT_METAL) & (hit.smoothness > 0),
+            jnp.clip(_F(1.0) - hit.smoothness, _F(0.0), _F(1.0)),
+            jnp.clip(hit.rough, _F(0.0), _F(1.0)),
         )
-        ior = jnp.where(rows[:, 2] == 0, _F(1.5), rows[:, 2])  # materials.go:42-45
-        absorption = rows[:, 12:15]
+        ior = jnp.where(hit.ior == 0, _F(1.5), hit.ior)  # materials.go:42-45
 
-        nrm = hit.normal
+        n = hit.normal
         p = hit.p
-        view_dir = _norm(dirv)
+        view_dir = dirv.normalize()
 
         is_lambert = typ == MAT_LAMBERT
         is_metal = typ == MAT_METAL
@@ -531,34 +495,29 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         is_emissive = typ == MAT_EMISSIVE
 
         # emitted (materials.go:67-72); emissive does not scatter
-        radiance = radiance + jnp.where((alive & is_emissive)[:, None], throughput * emit, _F(0.0))
+        radiance = radiance + V3.where(alive & is_emissive, throughput * hit.emit, zero3)
 
         # Lambert: cosine + small rough jitter (materials.go:76-97)
-        u1 = rng.next()
-        u2 = rng.next()
-        cos_dir = sampling.cosine_direction(nrm, u1, u2)
+        cos_dir = sampling.cosine_direction(n, rng.next(), rng.next())
         jit_ball = sampling.unit_ball(*rng.next3())
-        lam_dir = cos_dir + jit_ball * (rough * _F(0.1))[:, None]
-        lam_dir = _norm(lam_dir)
-        lambert_dir = jnp.where((rough > _F(1e-6))[:, None], lam_dir, cos_dir)
+        lam_dir = (cos_dir + jit_ball * (rough * _F(0.1))).normalize()
+        lambert_dir = V3.where(rough > _F(1e-6), lam_dir, cos_dir)
 
         # Metal: lerp mirror -> cosine-around-mirror by alpha=rough^2
         # (materials.go:99-160)
-        reflected = optics.reflect(view_dir, nrm)
-        m1 = rng.next()
-        m2 = rng.next()
-        cos_around_refl = sampling.cosine_direction(reflected, m1, m2)
-        alpha = (rough * rough)[:, None]
+        reflected = optics.reflect(view_dir, n)
+        cos_around_refl = sampling.cosine_direction(reflected, rng.next(), rng.next())
+        alpha = rough * rough
         blended = reflected * (_F(1.0) - alpha) + cos_around_refl * alpha
-        blen2 = jnp.sum(blended * blended, axis=-1)
-        blended = jnp.where((blen2 < _F(1e-8))[:, None], reflected, _norm(blended))
-        wrong_hemi = jnp.sum(blended * nrm, axis=-1) <= 0
-        rough_metal_dir = jnp.where(wrong_hemi[:, None], reflected, blended)
-        metal_dir = jnp.where((rough > _F(1e-6))[:, None], rough_metal_dir, reflected)
+        blen2 = blended.length_sq()
+        blended = V3.where(blen2 < _F(1e-8), reflected, blended.normalize())
+        wrong_hemi = blended.dot(n) <= 0
+        rough_metal_dir = V3.where(wrong_hemi, reflected, blended)
+        metal_dir = V3.where(rough > _F(1e-6), rough_metal_dir, reflected)
 
         # Dielectric (materials.go:162-200): note reflectance uses the
         # *refraction ratio* (1/ior on entry), unlike the GPU contract.
-        cos_t = jnp.minimum(jnp.sum(-view_dir * nrm, axis=-1), _F(1.0))
+        cos_t = jnp.minimum(-(view_dir.dot(n)), _F(1.0))
         sin_t = jnp.sqrt(jnp.maximum(_F(0.0), _F(1.0) - cos_t * cos_t))
         entering = hit.front_face
         ratio = jnp.where(entering, _F(1.0) / ior, ior)
@@ -566,20 +525,17 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         refl_prob = optics.schlick(cos_t, ratio)
         u_fr = rng.next()
         do_reflect = cannot | (refl_prob > u_fr)
-        diel_dir = jnp.where(
-            do_reflect[:, None], optics.reflect(view_dir, nrm), optics.refract(view_dir, nrm, ratio)
+        diel_dir = V3.where(
+            do_reflect, optics.reflect(view_dir, n), optics.refract(view_dir, n, ratio)
         )
 
-        new_dir = jnp.where(
-            is_lambert[:, None],
+        new_dir = V3.where(
+            is_lambert,
             lambert_dir,
-            jnp.where(
-                is_diel[:, None],
-                diel_dir,
-                jnp.where((is_metal | is_mirror)[:, None], metal_dir, lambert_dir),
-            ),
+            V3.where(is_diel, diel_dir, V3.where(is_metal | is_mirror, metal_dir, lambert_dir)),
         )
-        attenuation = jnp.where(is_diel[:, None], jnp.ones_like(albedo), albedo)
+        one3 = V3.full(shape, 1.0)
+        attenuation = V3.where(is_diel, one3, hit.albedo)
         scattered_ok = ~is_emissive
 
         # Beer–Lambert via exit scan (renderer.go:316-371)
@@ -588,14 +544,12 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
             scan_lanes = is_diel & entering & ~do_reflect & alive
             found, exit_p = _dielectric_exit_scan(p, new_dir, pack)
             delta = exit_p - p
-            dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), _F(0.0)))
-            has_abs = jnp.any(absorption > 0, axis=-1)
-            beer = jnp.exp(-absorption * dist[:, None])
+            dist = delta.length()
+            has_abs = hit.absorption.any_positive()
+            beer = (-(hit.absorption * dist)).exp()
             apply = scan_lanes & found
-            attenuation = jnp.where(
-                (apply & has_abs)[:, None], beer, attenuation
-            )
-            new_orig = jnp.where(apply[:, None], exit_p, new_orig)
+            attenuation = V3.where(apply & has_abs, beer, attenuation)
+            new_orig = V3.where(apply, exit_p, new_orig)
         # NOTE: the CPU reference applies the exit scan to *reflected*
         # dielectric rays too (it only checks rec.frontFace,
         # renderer.go:319); in practice a reflected ray leaves the surface
@@ -605,22 +559,19 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
         # Russian roulette (renderer.go:373-393)
         remaining = cfg.max_depth - d
         u_rr = rng.next()
-        max_comp = _max3(attenuation)
+        max_comp = attenuation.max_comp()
         rr_active = remaining <= cfg.rr_threshold
         rr_prob = jnp.minimum(max_comp, _F(0.95))
         rr_kill = rr_active & ((max_comp < _F(1e-6)) | (u_rr > rr_prob))
-        attenuation = jnp.where(
-            (rr_active & ~rr_kill)[:, None],
-            attenuation / jnp.maximum(rr_prob, _F(1e-6))[:, None],
-            attenuation,
-        )
+        rr_scale = jnp.where(rr_active & ~rr_kill, _F(1.0) / jnp.maximum(rr_prob, _F(1e-6)), _F(1.0))
+        attenuation = attenuation * rr_scale
 
         alive = alive & scattered_ok & ~rr_kill
-        throughput = jnp.where(alive[:, None], throughput * attenuation, throughput)
+        throughput = V3.where(alive, throughput * attenuation, throughput)
         # CPU scatter rays restart exactly at the hit point (no epsilon
         # offset; tMin=0.001 plays that role, renderer.go:292)
-        orig = jnp.where(alive[:, None], new_orig, orig)
-        dirv = jnp.where(alive[:, None], new_dir, dirv)
+        orig = V3.where(alive, new_orig, orig)
+        dirv = V3.where(alive, new_dir, dirv)
         return (d + 1, orig, dirv, throughput, radiance, alive, rng.state, segments)
 
     carry = (
@@ -638,12 +589,48 @@ def _trace_cpu(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
     return radiance, state, segments
 
 
-def trace(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
-    """Trace a batch of primary rays to completion.
+def trace_grid(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
+    """Trace rays on lane grids (component-wise API).
 
-    orig/dirv: f32[N,3]; state: uint32[N] lane RNG states.
-    Returns (radiance f32[N,3], new_state uint32[N], segments i32 scalar).
+    ``active``: optional bool grid of initially-live lanes (padding mask).
+    Returns (radiance V3, new_state, segments i32 scalar).
     """
     if cfg.contract == "cpu":
-        return _trace_cpu(orig, dirv, state, pack, cfg)
-    return _trace_gpu(orig, dirv, state, pack, cfg)
+        return _trace_cpu(orig, dirv, state, pack, cfg, active)
+    return _trace_gpu(orig, dirv, state, pack, cfg, active)
+
+
+def trace(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
+    """Row-vector convenience wrapper: orig/dirv f32[N,3], state u32[N].
+
+    N must be a multiple of 128 OR small (padded internally).  Returns
+    (radiance f32[N,3], new_state u32[N], segments).
+    """
+    n = orig.shape[0]
+    rows = -(-n // LANE)
+    n_pad = rows * LANE
+
+    def pad(a):
+        if n_pad == n:
+            return a
+        pad_width = [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad_width)
+
+    # component split (XLA fuses the slices/reshapes)
+    op = pad(orig)
+    dp = pad(dirv)
+    o = V3(op[:, 0].reshape(rows, LANE), op[:, 1].reshape(rows, LANE), op[:, 2].reshape(rows, LANE))
+    d = V3(dp[:, 0].reshape(rows, LANE), dp[:, 1].reshape(rows, LANE), dp[:, 2].reshape(rows, LANE))
+    st = pad(state).reshape(rows, LANE)
+    if n_pad != n:
+        active = (jnp.arange(n_pad) < n).reshape(rows, LANE)
+    else:
+        active = None
+
+    rad, st, segments = trace_grid(o, d, st, pack, cfg, active)
+
+    radiance = jnp.stack(
+        [rad.x.reshape(n_pad), rad.y.reshape(n_pad), rad.z.reshape(n_pad)], axis=-1
+    )[:n]
+    # correct the segment count for padded lanes (they trace garbage rays)
+    return radiance, st.reshape(n_pad)[:n], segments

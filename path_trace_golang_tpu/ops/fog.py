@@ -4,7 +4,8 @@ Re-design of the shader fog stack (gpu.go:1125-1341): legacy exponential
 sky fog (``applyFog``), heterogeneous medium coefficients (``mediumCoeffs``
 with fractal hash noise) and per-light single-scatter estimation
 (``estimateVolumeLight``).  The fixed 24-step march itself lives in the
-integrator (it needs the primary-hit distance).
+integrator (it needs the primary-hit distance).  Component-wise on
+[rows, 128] lane grids.
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ import jax.numpy as jnp
 from ..soa import ScenePack
 from . import geometry, sampling
 from .rng import LaneRng
+from .vec import V3
 
 __all__ = [
     "phase_hg",
@@ -41,16 +43,16 @@ def phase_hg(cos_theta, g):
     )
 
 
-def hash31(p):
+def hash31(p: V3):
     """3D hash noise (gpu.go:1146-1153): fract(sin(sum of dots)*43758.5453)."""
-    qx = p[..., 0] * _F(127.1) + p[..., 1] * _F(311.7) + p[..., 2] * _F(74.7)
-    qy = p[..., 0] * _F(269.5) + p[..., 1] * _F(183.3) + p[..., 2] * _F(246.1)
-    qz = p[..., 0] * _F(113.5) + p[..., 1] * _F(271.9) + p[..., 2] * _F(124.6)
+    qx = p.x * _F(127.1) + p.y * _F(311.7) + p.z * _F(74.7)
+    qy = p.x * _F(269.5) + p.y * _F(183.3) + p.z * _F(246.1)
+    qz = p.x * _F(113.5) + p.y * _F(271.9) + p.z * _F(124.6)
     s = jnp.sin(qx + qy + qz) * _F(43758.5453)
     return s - jnp.floor(s)
 
 
-def volume_noise(p, fog_block):
+def volume_noise(p: V3, fog_block):
     """Fractal hash noise, 1-5 octaves (gpu.go:1156-1171).
 
     The octave count comes from the (traced) fog block, so the loop is
@@ -60,7 +62,7 @@ def volume_noise(p, fog_block):
     octaves = jnp.clip(fog_block[13], _F(1.0), _F(5.0))
     amp = _F(1.0)
     freq = noise_scale
-    total = jnp.zeros(p.shape[:-1], dtype=jnp.float32)
+    total = jnp.zeros(p.x.shape, dtype=jnp.float32)
     norm = jnp.zeros((), dtype=jnp.float32)
     for i in range(5):
         active = _F(i) < octaves
@@ -71,11 +73,8 @@ def volume_noise(p, fog_block):
     return jnp.where(norm > 0, total / jnp.maximum(norm, _F(1e-20)), _F(1.0))
 
 
-def medium_coeffs(pos, fog_block):
-    """Local (sigma_s, sigma_a, sigma_t) with hetero noise (gpu.go:1174-1203).
-
-    pos: f32[N,3].  Returns three f32[N].
-    """
+def medium_coeffs(pos: V3, fog_block):
+    """Local (sigma_s, sigma_a, sigma_t) with hetero noise (gpu.go:1174-1203)."""
     base_s = jnp.maximum(fog_block[8], _F(0.0))
     base_a = jnp.maximum(fog_block[9], _F(0.0))
     density = fog_block[0]
@@ -96,29 +95,32 @@ def medium_coeffs(pos, fog_block):
     hetero = fog_block[11]
     k = jnp.clip(hetero, _F(0.0), _F(1.0))
     n = volume_noise(pos, fog_block)
-    scale = jnp.where(hetero > 0, (_F(1.0) - k) * (_F(1.0) - n) + (_F(1.0) + k) * n, _F(1.0))
-    sigma_s = sigma_s * jnp.broadcast_to(scale, sigma_s.shape if jnp.ndim(sigma_s) else scale.shape)
-    sigma_a = sigma_a * scale
-    sigma_s = jnp.broadcast_to(sigma_s, pos.shape[:-1])
-    sigma_a = jnp.broadcast_to(sigma_a, pos.shape[:-1])
+    scale = jnp.where(
+        hetero > 0, (_F(1.0) - k) * (_F(1.0) - n) + (_F(1.0) + k) * n, _F(1.0)
+    )
+    sigma_s = jnp.broadcast_to(sigma_s * scale, pos.x.shape)
+    sigma_a = jnp.broadcast_to(sigma_a * scale, pos.x.shape)
     return sigma_s, sigma_a, sigma_s + sigma_a
 
 
-def apply_legacy_fog(radiance, distance, fog_block):
+def apply_legacy_fog(radiance: V3, distance, fog_block) -> V3:
     """Exponential fog blend toward fog color (applyFog, gpu.go:1125-1133).
 
     Applied to sky misses with fixed distance 50 when density > 0 and
-    affect_sky (gpu.go:1389-1394).  radiance: f32[N,3]; distance scalar.
-    """
+    affect_sky (gpu.go:1389-1394)."""
     density = fog_block[0]
     att = jnp.exp(-density * _F(distance))
-    fog_col = fog_block[4:7]
-    blended = radiance * att + fog_col[None, :] * (_F(1.0) - att)
+    one_m = _F(1.0) - att
+    blended = V3(
+        radiance.x * att + fog_block[4] * one_m,
+        radiance.y * att + fog_block[5] * one_m,
+        radiance.z * att + fog_block[6] * one_m,
+    )
     enabled = (density > 0) & (_F(distance) > 0)
-    return jnp.where(enabled, blended, radiance)
+    return V3.where(enabled, blended, radiance)
 
 
-def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
+def estimate_volume_light(pos: V3, view_dir: V3, pack: ScenePack, rng: LaneRng) -> V3:
     """Single-scatter in-fog lighting at ``pos`` (gpu.go:1208-1297).
 
     Unrolls the (static) emissive-light list, samples each sphere light's
@@ -128,49 +130,51 @@ def estimate_volume_light(pos, view_dir, pack: ScenePack, rng: LaneRng):
     gathers.
     """
     from ..soa import OBJ_SPHERE
+    from .lights import luminance_clamp
 
     fog_block = pack.fog
     g = fog_block[10]
-    out = jnp.zeros_like(pos)
+    shape = pos.x.shape
+    out = V3.zeros(shape)
     for i in range(pack.n_lights):
         lo = pack.light_objs[i]
         u1 = rng.next()
         u2 = rng.next()
         if pack.obj_types[lo] != OBJ_SPHERE:
             continue  # reference skips non-sphere area sampling (gpu.go:917-918)
-        center = pack.obj[lo, 4:7]
+        cx, cy, cz = pack.obj[lo, 4], pack.obj[lo, 5], pack.obj[lo, 6]
         radius = pack.obj[lo, 8]
-        emit = pack.mat[pack.obj_mats[lo], 8:11]
+        mi = pack.obj_mats[lo]
+        ex, ey, ez = pack.mat[mi, 8], pack.mat[mi, 9], pack.mat[mi, 10]
 
         light_n = sampling.sphere_surface(u1, u2)
-        light_pos = center[None, :] + radius * light_n
+        light_pos = V3(
+            cx + radius * light_n.x, cy + radius * light_n.y, cz + radius * light_n.z
+        )
         area = _F(4.0) * PI * radius * radius
-        pdf = _F(1.0) / jnp.maximum(area, _F(1e-20))
+        inv_pdf = jnp.minimum(jnp.maximum(area, _F(1e-20)), _F(1e6))
 
         to_light = light_pos - pos
-        dist_sq = jnp.sum(to_light * to_light, axis=-1)
+        dist_sq = to_light.dot(to_light)
         valid = dist_sq > _F(1e-6)
         dist = jnp.sqrt(jnp.maximum(dist_sq, _F(1e-20)))
-        wi = to_light / dist[:, None]
+        wi = to_light * (_F(1.0) / dist)
 
         blocked = geometry.occluded(pos, wi, pack, _F(0.001), dist - _F(0.002))
         valid = valid & ~blocked
 
-        cos_light = jnp.maximum(_F(0), jnp.sum(light_n * -wi, axis=-1))
+        cos_light = jnp.maximum(_F(0), -(light_n.dot(wi)))
         valid = valid & (cos_light > _F(0))
 
-        cos_theta = jnp.sum(-wi * view_dir, axis=-1)
+        cos_theta = -(wi.dot(view_dir))
         phase = phase_hg(cos_theta, g)
 
         geom = cos_light / jnp.maximum(_F(1e-6), dist_sq)
-        contrib = emit[None, :] * (geom * phase / jnp.maximum(_F(1e-6), pdf))[:, None]
-        out = out + jnp.where(valid[:, None], contrib, _F(0.0))
+        w = geom * phase * inv_pdf
+        contrib = V3.broadcast_scalars(shape, ex, ey, ez) * w
+        out = out + V3.where(valid, contrib, V3.zeros(shape))
 
-    out = out * _F(2.0)
-    # firefly clamp (gpu.go:1286-1294)
-    weights = jnp.array([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
-    lum = jnp.sum(out * weights, axis=-1)
-    scale = jnp.where(lum > _F(500.0), _F(500.0) / jnp.maximum(lum, _F(1e-6)), _F(1.0))
-    out = out * scale[:, None]
+    out = luminance_clamp(out * _F(2.0))
     # fogScatter <= 0 disables volume lighting entirely (gpu.go:1209-1211)
-    return jnp.where(fog_block[1] > 0, out, _F(0.0))
+    zero = V3.zeros(shape)
+    return V3.where(fog_block[1] > 0, out, zero)

@@ -1,15 +1,18 @@
-"""Direction sampling (closed-form, rejection-free).
+"""Direction sampling (closed-form, rejection-free), component-wise.
 
 TPU lanes are SIMD; the reference's bounded rejection loops
 (``randomInUnitSphere``, gpu.go:743-750 / math.go:66-85) would force every
 lane to pay the worst case, so they are replaced by closed-form inverse-CDF
 samplers with *identical target distributions* (SURVEY.md §7 hard-part 2).
-All samplers consume a fixed number of uniforms per call.
+All samplers consume a fixed number of uniforms per call and operate on
+``[rows, 128]`` lane grids via :class:`~path_trace_golang_tpu.ops.vec.V3`.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from .vec import V3
 
 __all__ = [
     "unit_ball",
@@ -22,66 +25,55 @@ _F = jnp.float32
 TWO_PI = _F(6.28318530718)
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1, keepdims=True)
-
-
-def unit_ball(u1, u2, u3):
+def unit_ball(u1, u2, u3) -> V3:
     """Uniform point in the unit ball, closed form.
 
     Same distribution as the shader's rejection loop (gpu.go:743-750):
     uniform direction (z = 1-2u, phi = 2*pi*u) scaled by r = u^(1/3).
     Used for thin-lens defocus, which (faithfully to camera.go:62 and
     gpu.go:1113) samples a unit *ball*, not a disk.
-    Returns f32[..., 3].
     """
     z = _F(1.0) - _F(2.0) * u1
     r = jnp.sqrt(jnp.maximum(_F(0), _F(1.0) - z * z))
     phi = TWO_PI * u2
-    d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
     rad = jnp.cbrt(u3)
-    return d * rad[..., None]
+    return V3(r * jnp.cos(phi) * rad, r * jnp.sin(phi) * rad, z * rad)
 
 
-def cosine_direction(normal, u1, u2):
+def cosine_direction(normal: V3, u1, u2) -> V3:
     """Cosine-weighted hemisphere direction around ``normal``.
 
     Bit-faithful to the shader's randomCosineDirection (gpu.go:752-774)
     *including its quirk*: the frame is (u = world axis, v = n x u, w = n)
     where u is NOT re-orthogonalized against n, so the frame is skewed and
     the result is re-normalized — a slight, deliberate bias match.
-    normal: f32[N,3]; u1,u2: f32[N].
     """
     phi = TWO_PI * u1
     cos_theta = jnp.sqrt(u2)
     sin_theta = jnp.sqrt(jnp.maximum(_F(0), _F(1.0) - u2))
 
-    use_y = jnp.abs(normal[:, 0]) > _F(0.9)
-    axis = jnp.where(
-        use_y[:, None],
-        jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32),
-        jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32),
-    )
-    v = jnp.cross(normal, axis)
-    v = v / jnp.sqrt(jnp.maximum(_dot(v, v), _F(1e-20)))
-    w = normal
+    use_y = jnp.abs(normal.x) > _F(0.9)
+    zero = jnp.zeros_like(normal.x)
+    one = jnp.ones_like(normal.x)
+    axis = V3(jnp.where(use_y, zero, one), jnp.where(use_y, one, zero), zero)
+    v = normal.cross(axis).normalize()
+    # w = normal (assumed unit)
 
-    local_x = (sin_theta * jnp.cos(phi))[:, None]
-    local_y = (sin_theta * jnp.sin(phi))[:, None]
-    local_z = cos_theta[:, None]
-    d = local_x * axis + local_y * v + local_z * w
-    return d / jnp.sqrt(jnp.maximum(_dot(d, d), _F(1e-20)))
+    lx = sin_theta * jnp.cos(phi)
+    ly = sin_theta * jnp.sin(phi)
+    d = axis * lx + v * ly + normal * cos_theta
+    return d.normalize()
 
 
-def sphere_surface(u1, u2):
+def sphere_surface(u1, u2) -> V3:
     """Uniform direction on the unit sphere (sampleLightGeometry, gpu.go:900-911)."""
     z = _F(1.0) - _F(2.0) * u1
     r = jnp.sqrt(jnp.maximum(_F(0), _F(1.0) - z * z))
     phi = TWO_PI * u2
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    return V3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
-def sample_ggx(incident, normal, roughness, u1, u2):
+def sample_ggx(incident: V3, normal: V3, roughness, u1, u2) -> V3:
     """GGX/Trowbridge-Reitz importance-sampled reflection direction.
 
     Follows sampleGGX (gpu.go:778-821): sample a half-vector from the GGX
@@ -93,8 +85,6 @@ def sample_ggx(incident, normal, roughness, u1, u2):
     ``reflect(-viewDir, halfVec)`` which is the *negated* reflection and
     always points below the surface; we use the correct
     ``reflect(incident, halfVec) = d - 2(d.h)h``.
-
-    incident: f32[N,3] unit ray direction (pointing at the surface).
     """
     alpha = roughness * roughness
     alpha2 = alpha * alpha
@@ -106,25 +96,20 @@ def sample_ggx(incident, normal, roughness, u1, u2):
     phi = TWO_PI * u1
 
     # orthonormal frame (gpu.go:791-795): up = |n.z|<0.999 ? z-axis : x-axis
-    use_x = jnp.abs(normal[:, 2]) >= _F(0.999)
-    up = jnp.where(
-        use_x[:, None],
-        jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32),
-        jnp.array([0.0, 0.0, 1.0], dtype=jnp.float32),
-    )
-    tangent = jnp.cross(up, normal)
-    tangent = tangent / jnp.sqrt(jnp.maximum(_dot(tangent, tangent), _F(1e-20)))
-    bitangent = jnp.cross(normal, tangent)
+    use_x = jnp.abs(normal.z) >= _F(0.999)
+    zero = jnp.zeros_like(normal.x)
+    one = jnp.ones_like(normal.x)
+    up = V3(jnp.where(use_x, one, zero), zero, jnp.where(use_x, zero, one))
+    tangent = up.cross(normal).normalize()
+    bitangent = normal.cross(tangent)
 
     h = (
-        (sin_theta * jnp.cos(phi))[:, None] * tangent
-        + (sin_theta * jnp.sin(phi))[:, None] * bitangent
-        + cos_theta[:, None] * normal
-    )
-    h = h / jnp.sqrt(jnp.maximum(_dot(h, h), _F(1e-20)))
+        tangent * (sin_theta * jnp.cos(phi))
+        + bitangent * (sin_theta * jnp.sin(phi))
+        + normal * cos_theta
+    ).normalize()
 
-    refl = incident - _F(2.0) * _dot(incident, h) * h
-    below = jnp.sum(refl * normal, axis=-1) <= _F(0)
-    mirror = incident - _F(2.0) * _dot(incident, normal) * normal
-    out = jnp.where(below[:, None], mirror, refl)
-    return out / jnp.sqrt(jnp.maximum(_dot(out, out), _F(1e-20)))
+    refl = incident - h * (_F(2.0) * incident.dot(h))
+    below = refl.dot(normal) <= _F(0)
+    mirror = incident - normal * (_F(2.0) * incident.dot(normal))
+    return V3.where(below, mirror, refl).normalize()

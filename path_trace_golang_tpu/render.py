@@ -123,15 +123,29 @@ def trace_pass_lanes(
     has_aperture: bool,
     normalize_pass: bool,
 ):
-    """Trace one full pass for the given flat pixel indices ``idx`` (i32[N]).
+    """Trace one full pass for the given flat pixel indices ``idx`` (i32[N],
+    N a multiple of 128).
 
     Sample loop follows the shader's main() (gpu.go:1673-1732): per sample,
-    draw the stratum jitter, build the camera ray, trace, sum.  Shared by
-    the single-chip chunked driver and the shard_map multi-chip driver.
+    draw the stratum jitter, build the camera ray, trace, sum.  All lane
+    math runs on [rows, 128] component grids (ops/vec.py); shared by the
+    single-chip chunked driver and the shard_map multi-chip driver.
     Returns (col f32[N,3], segments i32).
     """
-    px = idx % width
-    py = idx // width
+    from .integrator import trace_grid
+    from .ops.vec import LANE, V3
+
+    n = idx.shape[0]
+    rows = -(-n // LANE)
+    n_pad = rows * LANE
+    if n_pad != n:
+        idx = jnp.pad(idx, (0, n_pad - n))
+        active = (jnp.arange(n_pad) < n).reshape(rows, LANE)
+    else:
+        active = None
+    grid_idx = idx.reshape(rows, LANE)
+    px = grid_idx % width
+    py = grid_idx // width
     state0 = seed_lanes(px, py, frame_seed)
 
     inv_w = _F(1.0) / _F(width - 1 if width > 1 else 1)
@@ -154,16 +168,19 @@ def trace_pass_lanes(
         u = (pxf + su) * inv_w
         v = (fy + sv) * inv_h
         orig, dirv = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
-        rad, new_state, seg = trace(orig, dirv, rng.state, pack, tcfg)
+        rad, new_state, seg = trace_grid(orig, dirv, rng.state, pack, tcfg, active)
         return new_state, col + rad, segs + seg
 
-    col0 = jnp.zeros((idx.shape[0], 3), dtype=jnp.float32)
+    col0 = V3.zeros((rows, LANE))
     _state, col, segs = lax.fori_loop(
         0, samples, sample_body, (state0, col0, jnp.zeros((), jnp.int32))
     )
     if normalize_pass:
         col = col * _F(1.0 / samples)
-    return col, segs
+    col_rows = jnp.stack(
+        [col.x.reshape(n_pad), col.y.reshape(n_pad), col.z.reshape(n_pad)], axis=-1
+    )[:n]
+    return col_rows, segs
 
 
 @partial(

@@ -1,5 +1,9 @@
 """Unit tests for the compute ops: intersection vs closed form, optics vs
-physics, RNG behavior, sampler distributions (SURVEY.md §4)."""
+physics, RNG behavior, sampler distributions (SURVEY.md §4).
+
+The ops API is component-wise (ops/vec.py V3 over lane grids); tests use
+flat [N] lane grids via V3.from_rows for readability.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +13,7 @@ import pytest
 from path_trace_golang_tpu import scene as S
 from path_trace_golang_tpu.ops import geometry, optics, rng, sampling, sky
 from path_trace_golang_tpu.ops.rng import LaneRng
+from path_trace_golang_tpu.ops.vec import V3
 from path_trace_golang_tpu.soa import pack_scene
 
 from helpers import mat, obj, base_camera, solid_sky
@@ -20,10 +25,31 @@ def _pack(objects, materials):
 
 
 def _rays(origins, dirs):
-    o = jnp.asarray(origins, dtype=jnp.float32)
-    d = jnp.asarray(dirs, dtype=jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    return o, d
+    o = np.asarray(origins, dtype=np.float32)
+    d = np.asarray(dirs, dtype=np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return V3.from_rows(jnp.asarray(o)), V3.from_rows(jnp.asarray(d))
+
+
+def _v3(rows):
+    return V3.from_rows(jnp.asarray(np.asarray(rows, np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# V3
+# ---------------------------------------------------------------------------
+
+
+def test_v3_algebra():
+    a = _v3([[1, 2, 3], [0, 1, 0]])
+    b = _v3([[4, 5, 6], [0, 0, 1]])
+    np.testing.assert_allclose(np.asarray((a + b).to_rows()), [[5, 7, 9], [0, 1, 1]])
+    np.testing.assert_allclose(np.asarray(a.dot(b)), [32, 0])
+    np.testing.assert_allclose(
+        np.asarray(a.cross(b).to_rows()), [[-3, 6, -3], [1, 0, 0]]
+    )
+    n = a.normalize()
+    np.testing.assert_allclose(np.asarray(n.length()), [1, 1], atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +105,7 @@ def test_sphere_hit_closed_form():
     h = geometry.intersect_world(o, d, pack)
     assert bool(h.hit[0]) and not bool(h.hit[1]) and not bool(h.hit[2])
     assert float(h.t[0]) == pytest.approx(3.0, abs=1e-5)  # 5 - radius 2
-    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h.normal.to_rows()[0]), [0, 0, 1], atol=1e-6)
     assert bool(h.front_face[0])
 
 
@@ -91,7 +117,7 @@ def test_sphere_inside_hit_backface():
     assert float(h.t[0]) == pytest.approx(2.0, abs=1e-5)
     assert not bool(h.front_face[0])
     # normal flipped toward the ray origin side
-    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal.to_rows()[0]), [0, 0, 1], atol=1e-5)
 
 
 def test_plane_hit_and_parallel_miss():
@@ -100,7 +126,7 @@ def test_plane_hit_and_parallel_miss():
     h = geometry.intersect_world(o, d, pack)
     assert bool(h.hit[0]) and not bool(h.hit[1])
     assert float(h.t[0]) == pytest.approx(4.0, abs=1e-5)
-    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h.normal.to_rows()[0]), [0, 1, 0], atol=1e-6)
 
 
 def test_box_hit_normal_faces():
@@ -112,25 +138,29 @@ def test_box_hit_normal_faces():
     h = geometry.intersect_world(o, d, pack)
     assert np.asarray(h.hit).all()
     np.testing.assert_allclose(np.asarray(h.t), [4, 4, 4], atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h.normal[0]), [1, 0, 0], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(h.normal[1]), [0, 1, 0], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(h.normal[2]), [0, 0, -1], atol=1e-6)
+    nrm = np.asarray(h.normal.to_rows())
+    np.testing.assert_allclose(nrm[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(nrm[1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(nrm[2], [0, 0, -1], atol=1e-6)
 
 
-def test_closest_hit_and_exclusion():
+def test_closest_hit_materials_and_exclusion():
     pack = _pack(
         [
-            obj("near", "sphere", (0, 0, -3), (1, 0, 0), material_id="m"),
-            obj("far", "sphere", (0, 0, -8), (1, 0, 0), material_id="m"),
+            obj("near", "sphere", (0, 0, -3), (1, 0, 0), material_id="m1"),
+            obj("far", "sphere", (0, 0, -8), (1, 0, 0), material_id="m2"),
         ],
-        [mat("m")],
+        [mat("m1", albedo=(0.1, 0.2, 0.3)), mat("m2", albedo=(0.9, 0.8, 0.7))],
     )
     o, d = _rays([[0, 0, 0]], [[0, 0, -1]])
     h = geometry.intersect_world(o, d, pack)
     assert int(h.obj_idx[0]) == 0 and float(h.t[0]) == pytest.approx(2.0, abs=1e-5)
+    # the hit record carries the winner's material constants (gather-free)
+    np.testing.assert_allclose(np.asarray(h.albedo.to_rows()[0]), [0.1, 0.2, 0.3], atol=1e-6)
     # excluding the near sphere exposes the far one (glass-skip semantics)
     h2 = geometry.intersect_world(o, d, pack, exclude_obj=jnp.array([0], jnp.int32))
     assert int(h2.obj_idx[0]) == 1 and float(h2.t[0]) == pytest.approx(7.0, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(h2.albedo.to_rows()[0]), [0.9, 0.8, 0.7], atol=1e-6)
 
 
 def test_occluded_respects_tmax():
@@ -141,11 +171,11 @@ def test_occluded_respects_tmax():
 
 
 def test_exit_distances():
-    o = jnp.array([[0, 0, 0]], jnp.float32)
-    d = jnp.array([[0, 0, -1]], jnp.float32)
-    ok, t = geometry.box_exit_t(o, d, jnp.array([[-1, -1, -4]], jnp.float32), jnp.array([[1, 1, 4]], jnp.float32))
+    o = _v3([[0, 0, 0]])
+    d = _v3([[0, 0, -1]])
+    ok, t = geometry.box_exit_t(o, d, _v3([[-1, -1, -4]]), _v3([[1, 1, 4]]))
     assert bool(ok[0]) and float(t[0]) == pytest.approx(4.0, abs=1e-5)
-    ok, t = geometry.sphere_exit_t(o, d, jnp.array([[0, 0, 0]], jnp.float32), jnp.array([3.0], jnp.float32))
+    ok, t = geometry.sphere_exit_t(o, d, _v3([[0, 0, 0]]), jnp.array([3.0], jnp.float32))
     assert bool(ok[0]) and float(t[0]) == pytest.approx(3.0, abs=1e-5)
 
 
@@ -155,19 +185,19 @@ def test_exit_distances():
 
 
 def test_reflect_matches_mirror_law():
-    v = jnp.array([[1, -1, 0]], jnp.float32) / np.sqrt(2)
-    n = jnp.array([[0, 1, 0]], jnp.float32)
-    r = np.asarray(optics.reflect(v, n))
+    v = _v3(np.array([[1, -1, 0]]) / np.sqrt(2))
+    n = _v3([[0, 1, 0]])
+    r = np.asarray(optics.reflect(v, n).to_rows())
     np.testing.assert_allclose(r, np.array([[1, 1, 0]]) / np.sqrt(2), atol=1e-6)
 
 
 def test_refract_snell_law():
     """Angle out obeys sin(t2) = eta * sin(t1)."""
     theta1 = 0.5
-    v = jnp.array([[np.sin(theta1), -np.cos(theta1), 0]], jnp.float32)
-    n = jnp.array([[0, 1, 0]], jnp.float32)
+    v = _v3([[np.sin(theta1), -np.cos(theta1), 0]])
+    n = _v3([[0, 1, 0]])
     eta = jnp.array([1.0 / 1.5], jnp.float32)
-    out = np.asarray(optics.refract(v, n, eta))[0]
+    out = np.asarray(optics.refract(v, n, eta).to_rows())[0]
     sin_t2 = np.hypot(out[0], out[2])
     assert sin_t2 == pytest.approx(np.sin(theta1) / 1.5, abs=1e-5)
     assert out[1] < 0  # continues into the surface
@@ -175,10 +205,10 @@ def test_refract_snell_law():
 
 def test_refract_total_internal_reflection():
     theta1 = 1.2  # beyond critical angle for eta=1.5
-    v = jnp.array([[np.sin(theta1), -np.cos(theta1), 0]], jnp.float32)
-    n = jnp.array([[0, 1, 0]], jnp.float32)
-    out = np.asarray(optics.refract(v, n, jnp.array([1.5], jnp.float32)))[0]
-    want = np.asarray(optics.reflect(v, n))[0]
+    v = _v3([[np.sin(theta1), -np.cos(theta1), 0]])
+    n = _v3([[0, 1, 0]])
+    out = np.asarray(optics.refract(v, n, jnp.array([1.5], jnp.float32)).to_rows())[0]
+    want = np.asarray(optics.reflect(v, n).to_rows())[0]
     np.testing.assert_allclose(out, want, atol=1e-6)
 
 
@@ -204,8 +234,9 @@ def _uniforms(n, seed=3):
 def test_cosine_direction_distribution():
     n = 20000
     r = _uniforms(n)
-    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
-    d = np.asarray(sampling.cosine_direction(normal, r.next(), r.next()))
+    one = jnp.ones(n)
+    normal = V3(jnp.zeros(n), jnp.zeros(n), one)
+    d = np.asarray(sampling.cosine_direction(normal, r.next(), r.next()).to_rows())
     # all in upper hemisphere; E[cos] = 2/3 for cosine-weighted
     assert (d[:, 2] > -1e-6).all()
     assert abs(d[:, 2].mean() - 2 / 3) < 0.02
@@ -215,7 +246,7 @@ def test_cosine_direction_distribution():
 def test_unit_ball_distribution():
     n = 20000
     r = _uniforms(n, seed=5)
-    p = np.asarray(sampling.unit_ball(r.next(), r.next(), r.next()))
+    p = np.asarray(sampling.unit_ball(r.next(), r.next(), r.next()).to_rows())
     rad = np.linalg.norm(p, axis=1)
     assert rad.max() <= 1.0 + 1e-5
     # E[r] for uniform ball = 3/4
@@ -225,7 +256,7 @@ def test_unit_ball_distribution():
 def test_sphere_surface_uniform():
     n = 20000
     r = _uniforms(n, seed=9)
-    d = np.asarray(sampling.sphere_surface(r.next(), r.next()))
+    d = np.asarray(sampling.sphere_surface(r.next(), r.next()).to_rows())
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
     assert np.abs(d.mean(axis=0)).max() < 0.02
 
@@ -233,19 +264,17 @@ def test_sphere_surface_uniform():
 def test_ggx_stays_above_surface():
     n = 10000
     r = _uniforms(n, seed=13)
-    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
-    incident = jnp.broadcast_to(
-        jnp.asarray(np.array([0.6, 0, -0.8], np.float32)), (n, 3)
-    )
+    normal = V3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+    incident = V3(jnp.full((n,), 0.6), jnp.zeros(n), jnp.full((n,), -0.8))
     for rough in (0.05, 0.3, 0.9):
         d = np.asarray(
-            sampling.sample_ggx(incident, normal, jnp.full((n,), rough, jnp.float32), r.next(), r.next())
+            sampling.sample_ggx(incident, normal, jnp.full((n,), rough, jnp.float32), r.next(), r.next()).to_rows()
         )
         assert (d[:, 2] > 0).mean() > 0.999  # upper hemisphere (with mirror fallback)
         np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
     # low roughness concentrates around the mirror direction [0.6, 0, 0.8]
     d = np.asarray(
-        sampling.sample_ggx(incident, normal, jnp.full((n,), 0.05, jnp.float32), r.next(), r.next())
+        sampling.sample_ggx(incident, normal, jnp.full((n,), 0.05, jnp.float32), r.next(), r.next()).to_rows()
     )
     mean = d.mean(axis=0)
     assert mean[2] > 0.7 and mean[0] > 0.5
@@ -259,18 +288,18 @@ def test_ggx_stays_above_surface():
 def test_sky_modes():
     from path_trace_golang_tpu.soa import pack_scene as ps
 
-    up = jnp.array([[0, 1, 0], [0, -1, 0]], jnp.float32)
+    up = _v3([[0, 1, 0], [0, -1, 0]])
 
     sc = S.Scene(camera=base_camera(), sky=S.Sky(type="gradient", horizon=S.Color(1, 0, 0), zenith=S.Color(0, 0, 1)))
     p = ps(sc)
-    got = np.asarray(sky.background_color(up, p.sky))
+    got = np.asarray(sky.background_color(up, p.sky).to_rows())
     np.testing.assert_allclose(got[0], [0, 0, 1], atol=1e-6)  # zenith at y=+1
     np.testing.assert_allclose(got[1], [1, 0, 0], atol=1e-6)  # horizon at y=-1
 
     sc = S.Scene(camera=base_camera(), sky=S.Sky(type="solid", color=S.Color(0.3, 0.4, 0.5)))
-    got = np.asarray(sky.background_color(up, ps(sc).sky))
+    got = np.asarray(sky.background_color(up, ps(sc).sky).to_rows())
     np.testing.assert_allclose(got, [[0.3, 0.4, 0.5]] * 2, atol=1e-6)
 
     sc = S.Scene(camera=base_camera(), background=S.Color(0.9, 0.1, 0.2))  # legacy
-    got = np.asarray(sky.background_color(up, ps(sc).sky))
+    got = np.asarray(sky.background_color(up, ps(sc).sky).to_rows())
     np.testing.assert_allclose(got, [[0.9, 0.1, 0.2]] * 2, atol=1e-6)
