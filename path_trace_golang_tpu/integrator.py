@@ -45,7 +45,13 @@ from .soa import (
     ScenePack,
 )
 
-__all__ = ["TraceConfig", "trace", "trace_grid", "trace_config_for_scene"]
+__all__ = [
+    "TraceConfig",
+    "trace",
+    "trace_grid",
+    "trace_config_for_scene",
+    "fog_prepass_grid",
+]
 
 _F = jnp.float32
 
@@ -62,14 +68,27 @@ class TraceConfig:
     max_depth: int
     contract: str = "gpu"  # "gpu" | "cpu"  (engine backend switch analog)
     enable_fog_march: bool = False  # fogGpuVolumetric && lights present
+    fog_in_trace: bool = True  # False = driver marches fog once per pass (D6)
     enable_nee: bool = True
     has_rough_metal: bool = True
     has_dielectric: bool = True
     rr_threshold: int = 3  # gpu.go:1649 / renderer.go:375
 
 
-def trace_config_for_scene(sc_pack: ScenePack, scene, max_depth: int, contract: str = "gpu") -> TraceConfig:
-    """Build a TraceConfig with feature flags read off the scene."""
+def trace_config_for_scene(
+    sc_pack: ScenePack,
+    scene,
+    max_depth: int,
+    contract: str = "gpu",
+    faithful_fog: bool = False,
+) -> TraceConfig:
+    """Build a TraceConfig with feature flags read off the scene.
+
+    ``faithful_fog=True`` re-marches the volumetric fog for every
+    stratified sample like the reference shader (gpu.go:1311-1341); the
+    default estimates it once per pass (PHYSICS.md D6) — same expectation,
+    ~1/16 of the fog cost.
+    """
     has_rough_metal = False
     has_dielectric = False
     for m in scene.materials:
@@ -89,6 +108,7 @@ def trace_config_for_scene(sc_pack: ScenePack, scene, max_depth: int, contract: 
         max_depth=max_depth,
         contract=contract,
         enable_fog_march=bool(fogm),
+        fog_in_trace=bool(faithful_fog),
         enable_nee=(contract == "gpu"),
         has_rough_metal=has_rough_metal,
         has_dielectric=has_dielectric,
@@ -293,7 +313,7 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     shape = orig.x.shape
     radiance = V3.zeros(shape)
 
-    if cfg.enable_fog_march:
+    if cfg.enable_fog_march and cfg.fog_in_trace:
         fog_on = pack.fog[3] > _F(0.5)
         fog_radiance, state = _fog_prepass(orig, dirv, state, pack)
         gate = jnp.where(fog_on, _F(1.0), _F(0.0))
@@ -302,7 +322,7 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
             radiance = V3.where(active, radiance, V3.zeros(shape))
 
     throughput = V3.full(shape, 1.0)
-    alive = jnp.ones(shape, dtype=bool) if active is None else active
+    alive0 = jnp.ones(shape, dtype=bool) if active is None else active
     glass_obj = jnp.full(shape, -1, dtype=jnp.int32)
     glass_dist = jnp.zeros(shape, dtype=jnp.float32)
     segments = jnp.zeros((), dtype=jnp.int32)
@@ -312,12 +332,15 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
 
     def cond(carry):
         d = carry[0]
-        alive = carry[5]
-        return (d < cfg.max_depth) & jnp.any(alive)
+        alive_i = carry[5]
+        # alive rides the carry as int32: Mosaic cannot legalize i1
+        # vectors in scf.while carries
+        return (d < cfg.max_depth) & (jnp.max(alive_i) > 0)
 
     def body(carry):
-        d, orig, dirv, throughput, radiance, alive, st, glass_obj, glass_dist, segments = carry
-        segments = segments + jnp.sum(alive, dtype=jnp.int32)
+        d, orig, dirv, throughput, radiance, alive_i, st, glass_obj, glass_dist, segments = carry
+        alive = alive_i > 0
+        segments = segments + jnp.sum(alive_i)
         rng = LaneRng(st)
 
         hit = intersect_world(orig, dirv, pack, _F(0.001), exclude_obj=glass_obj)
@@ -381,7 +404,7 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         new_orig = hit.p + hit.normal * _F(0.001)
         orig = V3.where(alive, new_orig, orig)
         dirv = V3.where(alive, new_dir, dirv)
-        return (d + 1, orig, dirv, throughput, radiance, alive, rng.state, glass_obj, glass_dist, segments)
+        return (d + 1, orig, dirv, throughput, radiance, alive.astype(jnp.int32), rng.state, glass_obj, glass_dist, segments)
 
     carry = (
         jnp.zeros((), dtype=jnp.int32),
@@ -389,7 +412,7 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         dirv,
         throughput,
         radiance,
-        alive,
+        alive0.astype(jnp.int32),
         state,
         glass_obj,
         glass_dist,
@@ -453,17 +476,18 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     shape = orig.x.shape
     radiance = V3.zeros(shape)
     throughput = V3.full(shape, 1.0)
-    alive = jnp.ones(shape, dtype=bool) if active is None else active
+    alive0 = jnp.ones(shape, dtype=bool) if active is None else active
     segments = jnp.zeros((), dtype=jnp.int32)
 
     def cond(carry):
         d = carry[0]
-        alive = carry[5]
-        return (d < cfg.max_depth) & jnp.any(alive)
+        alive_i = carry[5]
+        return (d < cfg.max_depth) & (jnp.max(alive_i) > 0)
 
     def body(carry):
-        d, orig, dirv, throughput, radiance, alive, st, segments = carry
-        segments = segments + jnp.sum(alive, dtype=jnp.int32)
+        d, orig, dirv, throughput, radiance, alive_i, st, segments = carry
+        alive = alive_i > 0
+        segments = segments + jnp.sum(alive_i)
         rng = LaneRng(st)
         zero3 = V3.zeros(shape)
 
@@ -572,7 +596,7 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         # offset; tMin=0.001 plays that role, renderer.go:292)
         orig = V3.where(alive, new_orig, orig)
         dirv = V3.where(alive, new_dir, dirv)
-        return (d + 1, orig, dirv, throughput, radiance, alive, rng.state, segments)
+        return (d + 1, orig, dirv, throughput, radiance, alive.astype(jnp.int32), rng.state, segments)
 
     carry = (
         jnp.zeros((), dtype=jnp.int32),
@@ -580,7 +604,7 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         dirv,
         throughput,
         radiance,
-        alive,
+        alive0.astype(jnp.int32),
         state,
         segments,
     )
@@ -589,12 +613,32 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     return radiance, state, segments
 
 
+def fog_prepass_grid(orig: V3, dirv: V3, state, pack: ScenePack):
+    """Public wrapper over the volumetric single-scatter march, for drivers
+    running fog once per pass (PHYSICS.md D6).  Gated on the runtime
+    gpu_volumetric flag like the shader (gpu.go:1311)."""
+    fog_on = pack.fog[3] > _F(0.5)
+    rad, state = _fog_prepass(orig, dirv, state, pack)
+    gate = jnp.where(fog_on, _F(1.0), _F(0.0))
+    return rad * gate, state
+
+
 def trace_grid(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
     """Trace rays on lane grids (component-wise API).
 
     ``active``: optional bool grid of initially-live lanes (padding mask).
+    On TPU, eligible shapes route to the VMEM-resident Pallas kernel
+    (ops/pallas_trace.py); the XLA path is the portable fallback and the
+    reference implementation for tests.
     Returns (radiance V3, new_state, segments i32 scalar).
     """
+    import os
+
+    if os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on"):
+        from .ops import pallas_trace
+
+        if pallas_trace.pallas_supported(orig.x.shape, pack, cfg, active):
+            return pallas_trace.trace_grid_pallas(orig, dirv, state, pack, cfg)
     if cfg.contract == "cpu":
         return _trace_cpu(orig, dirv, state, pack, cfg, active)
     return _trace_gpu(orig, dirv, state, pack, cfg, active)

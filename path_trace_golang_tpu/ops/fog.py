@@ -29,9 +29,9 @@ __all__ = [
 ]
 
 _F = jnp.float32
-PI = _F(3.14159265359)
+PI = 3.14159265359
 FOG_MARCH_STEPS = 24  # gpu.go:1319
-FOG_MARCH_TMAX = _F(40.0)  # gpu.go:1314
+FOG_MARCH_TMAX = 40.0  # gpu.go:1314
 
 
 def phase_hg(cos_theta, g):

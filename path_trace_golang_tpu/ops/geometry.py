@@ -36,7 +36,7 @@ __all__ = [
     "BIG_T",
 ]
 
-BIG_T = jnp.float32(1e20)
+BIG_T = 1e20  # python float: stays a literal under pallas kernel tracing
 _F = jnp.float32
 
 
@@ -124,7 +124,7 @@ def intersect_world(
     o: V3,
     d: V3,
     pack: ScenePack,
-    t_min=_F(0.001),
+    t_min=0.001,
     t_max=None,
     exclude_obj: Optional[jnp.ndarray] = None,
 ) -> Hit:
@@ -246,7 +246,7 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
     return blocked
 
 
-def box_exit_t(o: V3, d: V3, bmin: V3, bmax: V3, t_min=_F(0.001)):
+def box_exit_t(o: V3, d: V3, bmin: V3, bmax: V3, t_min=0.001):
     """Slab-test exit distance t1 (hitBox with findExit=true, gpu.go:1559-1564)."""
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     t_near = (bmin - o) * inv
@@ -265,7 +265,7 @@ def box_exit_t(o: V3, d: V3, bmin: V3, bmax: V3, t_min=_F(0.001)):
     return valid, t1
 
 
-def sphere_exit_t(o: V3, d: V3, center: V3, radius, t_min=_F(0.001)):
+def sphere_exit_t(o: V3, d: V3, center: V3, radius, t_min=0.001):
     """Far-root distance out of a sphere (gpu.go:1566-1591).
 
     ``d`` must be unit length (the shader assumes a == 1)."""

@@ -25,12 +25,12 @@ from .vec import V3
 __all__ = ["estimate_direct_light", "MAX_LIGHTS_TO_SAMPLE", "PI", "luminance_clamp"]
 
 _F = jnp.float32
-PI = _F(3.14159265359)
-INV_PI = _F(1.0 / 3.14159265359)
+PI = 3.14159265359
+INV_PI = 1.0 / 3.14159265359
 MAX_LIGHTS_TO_SAMPLE = 8  # gpu.go:1019
 
 
-def luminance_clamp(contrib: V3, max_lum=_F(500.0)) -> V3:
+def luminance_clamp(contrib: V3, max_lum=500.0) -> V3:
     """Soft firefly clamp at luminance 500 (gpu.go:986-996)."""
     lum = contrib.x * _F(0.2126) + contrib.y * _F(0.7152) + contrib.z * _F(0.0722)
     scale = jnp.where(lum > max_lum, max_lum / jnp.maximum(lum, _F(1e-6)), _F(1.0))

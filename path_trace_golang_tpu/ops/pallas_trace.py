@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: the full wavefront bounce loop, VMEM-resident.
+
+The XLA path compiles the bounce body into several large fusions whose
+carried state round-trips HBM on every `while` iteration (profiled at
+~20-25% VPU utilization).  This kernel runs the WHOLE per-lane path-trace
+loop for a block of lanes inside one Pallas program: ray state lives in
+VMEM/registers across bounces, the tiny scene tables (materials, objects,
+camera/sky/fog blocks) sit in SMEM for scalar access, and each block's
+``while`` exits as soon as *its* lanes are all dead — a free, coarse form
+of wavefront compaction (blocks covering sky or emissive regions stop
+after 1-2 bounces).
+
+The kernel body **reuses the exact integrator code** (`_trace_gpu` /
+`_trace_cpu` from integrator.py): Pallas kernels are traced jnp programs,
+so the physics lives in one place and this module only changes where the
+bytes live.  Requirements for eligibility (checked by `pallas_supported`):
+TPU backend, row count divisible by the block size, <= 8 lights (the >8
+subset path gathers dynamically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..soa import ScenePack
+from .vec import LANE, V3
+
+__all__ = ["trace_grid_pallas", "pallas_supported", "BLOCK_ROWS"]
+
+# Lanes per block = BLOCK_ROWS * 128.  Small blocks keep the while-loop
+# carry at one vector register per state array (Mosaic unrolls block rows
+# into (8,128) vregs — big blocks explode compile time and registers) and
+# give fine-grained per-block early exit when a block's paths all die.
+BLOCK_ROWS = 8
+
+
+def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
+    """Static eligibility check for the Pallas fast path."""
+    if active is not None:
+        return False
+    if len(shape) != 2 or shape[1] != LANE:
+        return False
+    if shape[0] % _block_rows(shape) != 0:
+        return False
+    if pack.n_lights > 8:  # dynamic light-subset path gathers per lane
+        return False
+    if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
+        return False
+    return True
+
+
+def _block_rows(shape) -> int:
+    r = shape[0]
+    br = min(BLOCK_ROWS, r)
+    while r % br:
+        br //= 2
+    return max(br, 1)
+
+
+def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
+    """Pallas-backed drop-in for integrator.trace_grid (gpu/cpu contracts).
+
+    Returns (radiance V3, new_state, segments i32 scalar).
+    """
+    from .. import integrator as integ
+
+    shape = orig.x.shape
+    rows = shape[0]
+    br = _block_rows(shape)
+    n_blocks = rows // br
+
+    trace_fn = integ._trace_cpu if cfg.contract == "cpu" else integ._trace_gpu
+
+    def kernel(
+        mat_ref,
+        obj_ref,
+        light_ref,
+        cam_ref,
+        sky_ref,
+        fog_ref,
+        ox_ref,
+        oy_ref,
+        oz_ref,
+        dx_ref,
+        dy_ref,
+        dz_ref,
+        st_ref,
+        rx_ref,
+        ry_ref,
+        rz_ref,
+        sto_ref,
+        seg_ref,
+    ):
+        pack_k = dataclasses.replace(
+            pack,
+            mat=mat_ref,
+            obj=obj_ref,
+            light_idx=light_ref,
+            cam=cam_ref,
+            sky=sky_ref,
+            fog=fog_ref,
+        )
+        o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
+        d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
+        rad, st, segs = trace_fn(o, d, st_ref[:], pack_k, cfg)
+        rx_ref[:] = rad.x
+        ry_ref[:] = rad.y
+        rz_ref[:] = rad.z
+        sto_ref[:] = st
+        seg_ref[pl.program_id(0), 0] = segs
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.uint32),
+        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+    )
+    rx, ry, rz, st_out, segs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            smem(),  # mat
+            smem(),  # obj
+            smem(),  # light_idx
+            smem(),  # cam
+            smem(),  # sky
+            smem(),  # fog
+            lane_in,
+            lane_in,
+            lane_in,
+            lane_in,
+            lane_in,
+            lane_in,
+            lane_in,
+        ],
+        out_specs=(
+            lane_out,
+            lane_out,
+            lane_out,
+            lane_out,
+            pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=out_shape,
+    )(
+        pack.mat,
+        pack.obj,
+        pack.light_idx,
+        pack.cam,
+        pack.sky,
+        pack.fog,
+        orig.x,
+        orig.y,
+        orig.z,
+        dirv.x,
+        dirv.y,
+        dirv.z,
+        state,
+    )
+    return V3(rx, ry, rz), st_out, jnp.sum(segs)

@@ -16,6 +16,7 @@ per bounce, which keeps lanes decorrelated and deterministic.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["hash_u", "seed_lanes", "uniform", "LaneRng"]
@@ -47,12 +48,16 @@ def seed_lanes(px, py, frame_seed):
 def uniform(state):
     """Advance state, return (new_state, u ~ [0,1)) (gpu.go:455-458).
 
-    Matches GLSL ``float(state) / 4294967296.0`` including its rounding
-    (uint -> f32 conversion rounds to nearest, so u == 1.0 is possible for
-    states within 128 of 2**32 — the reference has the same property).
+    The reference maps ``float(state) / 2**32``.  TPU Mosaic has no
+    uint32 -> f32 convert, so we bit-reinterpret to int32 and shift:
+    ``u = i32(state) * 2**-32 + 0.5`` — exactly the reference's value
+    rotated by 0.5 (mod 1), i.e. the identical uniform distribution with
+    the same 2**-32 granularity, computable on both the XLA and Pallas
+    paths with bit-identical results.
     """
     state = hash_u(state)
-    u = state.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    i = jax.lax.bitcast_convert_type(state, jnp.int32)
+    u = i.astype(jnp.float32) * jnp.float32(2.0**-32) + jnp.float32(0.5)
     return state, u
 
 

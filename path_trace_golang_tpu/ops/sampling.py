@@ -22,7 +22,7 @@ __all__ = [
 ]
 
 _F = jnp.float32
-TWO_PI = _F(6.28318530718)
+TWO_PI = 6.28318530718
 
 
 def unit_ball(u1, u2, u3) -> V3:

@@ -66,7 +66,7 @@ class V3(NamedTuple):
     def length(self):
         return jnp.sqrt(jnp.maximum(self.length_sq(), _F(0)))
 
-    def normalize(self, eps=_F(1e-20)) -> "V3":
+    def normalize(self, eps=1e-20) -> "V3":
         inv = _F(1.0) / jnp.sqrt(jnp.maximum(self.length_sq(), eps))
         return V3(self.x * inv, self.y * inv, self.z * inv)
 

@@ -22,6 +22,7 @@ physically-normalized render instead.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -132,7 +133,7 @@ def trace_pass_lanes(
     single-chip chunked driver and the shard_map multi-chip driver.
     Returns (col f32[N,3], segments i32).
     """
-    from .integrator import trace_grid
+    from .integrator import fog_prepass_grid, trace_grid
     from .ops.vec import LANE, V3
 
     n = idx.shape[0]
@@ -153,6 +154,23 @@ def trace_pass_lanes(
     fy = (_F(height - 1) - py.astype(jnp.float32))
     pxf = px.astype(jnp.float32)
 
+    fog_once = tcfg.enable_fog_march and not tcfg.fog_in_trace
+    col_pre = V3.zeros((rows, LANE))
+    if fog_once:
+        # One fog march per pass (PHYSICS.md D6): estimate the in-scatter
+        # term on a single jittered primary ray and weight it by the
+        # sample count — same expectation as the reference's per-sample
+        # march at ~1/16 the cost.
+        rng0 = LaneRng(state0)
+        jx = rng0.next()
+        jy = rng0.next()
+        u0 = (pxf + jx) * inv_w
+        v0 = (fy + jy) * inv_h
+        fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture)
+        fog_rad, fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
+        col_pre = fog_rad * _F(samples)
+        state0 = fog_state
+
     def sample_body(s, carry):
         state, col, segs = carry
         rng = LaneRng(state)
@@ -171,9 +189,8 @@ def trace_pass_lanes(
         rad, new_state, seg = trace_grid(orig, dirv, rng.state, pack, tcfg, active)
         return new_state, col + rad, segs + seg
 
-    col0 = V3.zeros((rows, LANE))
     _state, col, segs = lax.fori_loop(
-        0, samples, sample_body, (state0, col0, jnp.zeros((), jnp.int32))
+        0, samples, sample_body, (state0, col_pre, jnp.zeros((), jnp.int32))
     )
     if normalize_pass:
         col = col * _F(1.0 / samples)
@@ -242,11 +259,15 @@ class Renderer:
         chunk: Optional[int] = None,
         normalize_pass: bool = False,
         seed: int = 1,
+        faithful_fog: Optional[bool] = None,
     ):
         self.contract = contract
         self.chunk = chunk or env_config.get_chunk_size()
         self.normalize_pass = normalize_pass
         self.seed = seed
+        if faithful_fog is None:
+            faithful_fog = os.environ.get("PATHTRACER_FAITHFUL_FOG", "") in ("1", "true", "on")
+        self.faithful_fog = faithful_fog
         self.stats = RenderStats()
 
     def render(
@@ -279,7 +300,9 @@ class Renderer:
         n_pad = n_chunks * chunk
 
         pack = pack_scene(sc, w, h)
-        tcfg = trace_config_for_scene(pack, sc, cfg.max_depth, contract)
+        tcfg = trace_config_for_scene(
+            pack, sc, cfg.max_depth, contract, faithful_fog=self.faithful_fog
+        )
         has_aperture = sc.camera.aperture > 0
 
         if contract == BACKEND_GPU:
