@@ -90,6 +90,8 @@ class RenderStats:
     samples_per_pixel: int = 0
     ray_segments: int = 0
     wall_seconds: float = 0.0
+    nonfinite: int = 0  # non-finite accum entries at last check (SURVEY.md §5)
+    resumed_from: int = 0  # passes restored from a checkpoint
 
     @property
     def mrays_per_sec(self) -> float:
@@ -260,6 +262,8 @@ class Renderer:
         normalize_pass: bool = False,
         seed: int = 1,
         faithful_fog: Optional[bool] = None,
+        checkpoint_path: Optional[str] = None,
+        metrics_sink=None,
     ):
         self.contract = contract
         self.chunk = chunk or env_config.get_chunk_size()
@@ -268,6 +272,8 @@ class Renderer:
         if faithful_fog is None:
             faithful_fog = os.environ.get("PATHTRACER_FAITHFUL_FOG", "") in ("1", "true", "on")
         self.faithful_fog = faithful_fog
+        self.checkpoint_path = checkpoint_path or os.environ.get("PATHTRACER_CHECKPOINT", "") or None
+        self.metrics_sink = metrics_sink
         self.stats = RenderStats()
 
     def render(
@@ -310,10 +316,33 @@ class Renderer:
         else:
             n_strata, samples = 1, 1
 
-        accum = jnp.zeros((n_pad, 3), dtype=jnp.float32)
         passes = max(1, cfg.samples_per_px)
         update_every = max(1, passes // 10)
         total_segs = jnp.zeros((), jnp.int32)
+
+        # --- checkpoint / exact resume (SURVEY.md §5) ---
+        from .utils import checkpoint as ckpt_mod
+        from .utils import metrics as metrics_mod
+
+        digest = ckpt_mod.scene_digest(sc, cfg, contract, self.normalize_pass, samples)
+        start_pass = 0
+        accum = None
+        if self.checkpoint_path:
+            ck = ckpt_mod.load_checkpoint(self.checkpoint_path)
+            if (
+                ck is not None
+                and ck.compatible_with(digest)
+                and ck.seed == self.seed
+                and ck.accum.shape == (n_pad, 3)
+                and ck.passes < passes
+            ):
+                accum = jnp.asarray(ck.accum)
+                start_pass = ck.passes
+        if accum is None:
+            accum = jnp.zeros((n_pad, 3), dtype=jnp.float32)
+
+        metrics = metrics_mod.MetricsLog(sink=self.metrics_sink)
+        nonfinite = 0
 
         def current_image(accum, count):
             flat = lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
@@ -339,8 +368,8 @@ class Renderer:
                 return finalize_gpu_contract(flat, jnp.asarray(count), denoise=False)
             return finalize_cpu_contract(flat, jnp.asarray(count))
 
-        completed = 0
-        for p in range(passes):
+        completed = start_pass
+        for p in range(start_pass, passes):
             frame_seed = jnp.uint32(self.seed + p)
             for c in range(n_chunks):
                 accum, segs = _render_pass_chunk(
@@ -359,8 +388,23 @@ class Renderer:
                 )
                 total_segs = total_segs + segs
             completed = p + 1
-            if progress is not None and ((p % update_every) == update_every - 1 or p == passes - 1):
-                progress(p + 1, np.asarray(preview_image(accum, p + 1)))
+            if (p % update_every) == update_every - 1 or p == passes - 1:
+                nonfinite = int(metrics_mod.nonfinite_count(accum))
+                metrics.interval(p + 1, int(total_segs), nonfinite)
+                if self.checkpoint_path:
+                    ckpt_mod.save_checkpoint(
+                        self.checkpoint_path,
+                        ckpt_mod.Checkpoint(
+                            accum=np.asarray(accum),
+                            passes=p + 1,
+                            seed=self.seed,
+                            digest=digest,
+                            width=w,
+                            height=h,
+                        ),
+                    )
+                if progress is not None:
+                    progress(p + 1, np.asarray(preview_image(accum, p + 1)))
             if cancel is not None and cancel():
                 break
 
@@ -371,7 +415,10 @@ class Renderer:
             samples_per_pixel=completed * samples,
             ray_segments=int(total_segs),
             wall_seconds=wall,
+            nonfinite=nonfinite,
+            resumed_from=start_pass,
         )
+        self.metrics = metrics
         return img
 
 

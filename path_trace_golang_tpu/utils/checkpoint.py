@@ -1,0 +1,93 @@
+"""Render checkpoint / exact resume.
+
+The reference's closest analogs are the GPU progressive accumulation
+buffer (interruptible-by-construction between passes, gpu.go:424-426,
+2217) and scene persistence (io.go:25-38) — SURVEY.md §5.  Because a pass
+here is a pure function of (scene, seed, pass index), serializing
+``(accumulation buffer, pass count, base seed, scene digest, config)``
+gives bit-exact resume: re-rendering passes ``k..n`` after a restart
+produces the same image as an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["Checkpoint", "scene_digest", "save_checkpoint", "load_checkpoint"]
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    accum: np.ndarray  # f32[n_pad, 3] running radiance sums
+    passes: int  # accumulated pass count
+    seed: int  # base seed (pass k used seed + k)
+    digest: str  # scene+config digest the buffer belongs to
+    width: int
+    height: int
+
+    def compatible_with(self, digest: str, passes_done: Optional[int] = None) -> bool:
+        return self.digest == digest
+
+
+def scene_digest(sc, cfg, contract: str, normalize_pass: bool, samples: int) -> str:
+    """Digest of everything that determines a pass's output besides the
+    pass index: scene JSON, render config, contract, sampling mode."""
+    from ..scene.io import dumps
+
+    h = hashlib.sha256()
+    h.update(dumps(sc).encode())
+    h.update(
+        json.dumps(
+            {
+                "w": cfg.width,
+                "h": cfg.height,
+                "depth": cfg.max_depth,
+                "contract": contract,
+                "normalize": normalize_pass,
+                "samples": samples,
+                "v": FORMAT_VERSION,
+            }
+        ).encode()
+    )
+    return h.hexdigest()
+
+
+def save_checkpoint(path: str, ckpt: Checkpoint) -> None:
+    tmp = f"{path}.tmp"
+    np.savez_compressed(
+        tmp if tmp.endswith(".npz") else tmp,
+        accum=ckpt.accum,
+        passes=np.int64(ckpt.passes),
+        seed=np.int64(ckpt.seed),
+        digest=np.bytes_(ckpt.digest.encode()),
+        width=np.int64(ckpt.width),
+        height=np.int64(ckpt.height),
+        version=np.int64(FORMAT_VERSION),
+    )
+    # np.savez appends .npz when missing
+    actual_tmp = tmp if tmp.endswith(".npz") else f"{tmp}.npz"
+    os.replace(actual_tmp, path)
+
+
+def load_checkpoint(path: str) -> Optional[Checkpoint]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if int(z["version"]) != FORMAT_VERSION:
+            return None
+        return Checkpoint(
+            accum=np.asarray(z["accum"], np.float32),
+            passes=int(z["passes"]),
+            seed=int(z["seed"]),
+            digest=bytes(z["digest"]).decode(),
+            width=int(z["width"]),
+            height=int(z["height"]),
+        )
