@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..soa import ScenePack
 from .vec import LANE, V3
 
-__all__ = ["trace_grid_pallas", "pallas_supported", "BLOCK_ROWS"]
+__all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK_ROWS"]
 
 # Lanes per block = BLOCK_ROWS * 128.  Small blocks keep the while-loop
 # carry at one vector register per state array (Mosaic unrolls block rows
@@ -168,3 +168,123 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         state,
     )
     return V3(rx, ry, rz), st_out, jnp.sum(segs)
+
+
+def render_pass_pallas(
+    pack: ScenePack,
+    frame_seed,
+    px,
+    py,
+    *,
+    tcfg,
+    width: int,
+    height: int,
+    n_strata: int,
+    samples: int,
+    has_aperture: bool,
+    normalize_pass: bool,
+):
+    """Whole-pass Pallas kernel: camera ray-gen, the 16-sample stratified
+    loop, the fog-once estimate, and the full bounce loop all execute
+    inside one program per lane block — no XLA<->kernel round trips within
+    a pass.  Shares the exact pass body with the XLA driver
+    (render.pass_body_grid).
+
+    px/py: i32 pixel-coordinate lane grids.  Returns (col V3, segs i32).
+    """
+    from .. import integrator as integ
+    from .. import render as render_mod
+
+    shape = px.shape
+    rows = shape[0]
+    br = _block_rows(shape)
+    n_blocks = rows // br
+
+    trace_core = integ._trace_cpu if tcfg.contract == "cpu" else integ._trace_gpu
+
+    def kernel(
+        mat_ref,
+        obj_ref,
+        light_ref,
+        cam_ref,
+        sky_ref,
+        fog_ref,
+        seed_ref,
+        px_ref,
+        py_ref,
+        cx_ref,
+        cy_ref,
+        cz_ref,
+        seg_ref,
+    ):
+        pack_k = dataclasses.replace(
+            pack,
+            mat=mat_ref,
+            obj=obj_ref,
+            light_idx=light_ref,
+            cam=cam_ref,
+            sky=sky_ref,
+            fog=fog_ref,
+        )
+        col, segs = render_mod.pass_body_grid(
+            pack_k,
+            seed_ref[0],
+            px_ref[:],
+            py_ref[:],
+            tcfg=tcfg,
+            width=width,
+            height=height,
+            n_strata=n_strata,
+            samples=samples,
+            has_aperture=has_aperture,
+            normalize_pass=normalize_pass,
+            trace_fn=lambda o, d, s: trace_core(o, d, s, pack_k, tcfg),
+        )
+        cx_ref[:] = col.x
+        cy_ref[:] = col.y
+        cz_ref[:] = col.z
+        seg_ref[pl.program_id(0), 0] = segs
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+    )
+    cx, cy, cz, segs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            smem(),  # mat
+            smem(),  # obj
+            smem(),  # light_idx
+            smem(),  # cam
+            smem(),  # sky
+            smem(),  # fog
+            smem(),  # frame_seed
+            lane_in,  # px
+            lane_in,  # py
+        ],
+        out_specs=(
+            lane_out,
+            lane_out,
+            lane_out,
+            pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=out_shape,
+    )(
+        pack.mat,
+        pack.obj,
+        pack.light_idx,
+        pack.cam,
+        pack.sky,
+        pack.fog,
+        jnp.asarray([frame_seed]).astype(jnp.uint32),
+        px,
+        py,
+    )
+    return V3(cx, cy, cz), jnp.sum(segs)

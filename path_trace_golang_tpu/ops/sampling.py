@@ -36,7 +36,9 @@ def unit_ball(u1, u2, u3) -> V3:
     z = _F(1.0) - _F(2.0) * u1
     r = jnp.sqrt(jnp.maximum(_F(0), _F(1.0) - z * z))
     phi = TWO_PI * u2
-    rad = jnp.cbrt(u3)
+    # cbrt via exp/log (TPU Mosaic has no cbrt primitive); u3=0 maps to a
+    # ~1e-10 radius instead of 0 — inconsequential for the lens offset
+    rad = jnp.exp(jnp.log(jnp.maximum(u3, _F(1e-30))) * _F(1.0 / 3.0))
     return V3(r * jnp.cos(phi) * rad, r * jnp.sin(phi) * rad, z * rad)
 
 

@@ -113,10 +113,11 @@ def render_settings_for_mode(mode: str) -> RenderSettings:
 # ---------------------------------------------------------------------------
 
 
-def trace_pass_lanes(
+def pass_body_grid(
     pack: ScenePack,
     frame_seed,
-    idx,
+    px,
+    py,
     *,
     tcfg: TraceConfig,
     width: int,
@@ -125,30 +126,23 @@ def trace_pass_lanes(
     samples: int,
     has_aperture: bool,
     normalize_pass: bool,
+    trace_fn,
+    active=None,
 ):
-    """Trace one full pass for the given flat pixel indices ``idx`` (i32[N],
-    N a multiple of 128).
+    """One full progressive pass on pixel-coordinate lane grids.
 
     Sample loop follows the shader's main() (gpu.go:1673-1732): per sample,
-    draw the stratum jitter, build the camera ray, trace, sum.  All lane
-    math runs on [rows, 128] component grids (ops/vec.py); shared by the
-    single-chip chunked driver and the shard_map multi-chip driver.
-    Returns (col f32[N,3], segments i32).
+    draw the stratum jitter, build the camera ray, trace, sum; plus the
+    fog-once-per-pass estimate (PHYSICS.md D6) when configured.
+    ``trace_fn(orig, dirv, state) -> (rad, state, segs)`` injects the trace
+    backend, so this body is shared by the XLA driver, the shard_map
+    multi-chip driver, and the whole-pass Pallas kernel (which calls it
+    with the in-kernel trace function).  Returns (col V3, segs i32).
     """
-    from .integrator import fog_prepass_grid, trace_grid
-    from .ops.vec import LANE, V3
+    from .integrator import fog_prepass_grid
+    from .ops.vec import V3
 
-    n = idx.shape[0]
-    rows = -(-n // LANE)
-    n_pad = rows * LANE
-    if n_pad != n:
-        idx = jnp.pad(idx, (0, n_pad - n))
-        active = (jnp.arange(n_pad) < n).reshape(rows, LANE)
-    else:
-        active = None
-    grid_idx = idx.reshape(rows, LANE)
-    px = grid_idx % width
-    py = grid_idx // width
+    shape = px.shape
     state0 = seed_lanes(px, py, frame_seed)
 
     inv_w = _F(1.0) / _F(width - 1 if width > 1 else 1)
@@ -157,7 +151,7 @@ def trace_pass_lanes(
     pxf = px.astype(jnp.float32)
 
     fog_once = tcfg.enable_fog_march and not tcfg.fog_in_trace
-    col_pre = V3.zeros((rows, LANE))
+    col_pre = V3.zeros(shape)
     if fog_once:
         # One fog march per pass (PHYSICS.md D6): estimate the in-scatter
         # term on a single jittered primary ray and weight it by the
@@ -171,6 +165,8 @@ def trace_pass_lanes(
         fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture)
         fog_rad, fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
         col_pre = fog_rad * _F(samples)
+        if active is not None:
+            col_pre = V3.where(active, col_pre, V3.zeros(shape))
         state0 = fog_state
 
     def sample_body(s, carry):
@@ -188,7 +184,7 @@ def trace_pass_lanes(
         u = (pxf + su) * inv_w
         v = (fy + sv) * inv_h
         orig, dirv = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
-        rad, new_state, seg = trace_grid(orig, dirv, rng.state, pack, tcfg, active)
+        rad, new_state, seg = trace_fn(orig, dirv, rng.state)
         return new_state, col + rad, segs + seg
 
     _state, col, segs = lax.fori_loop(
@@ -196,6 +192,71 @@ def trace_pass_lanes(
     )
     if normalize_pass:
         col = col * _F(1.0 / samples)
+    return col, segs
+
+
+def trace_pass_lanes(
+    pack: ScenePack,
+    frame_seed,
+    idx,
+    *,
+    tcfg: TraceConfig,
+    width: int,
+    height: int,
+    n_strata: int,
+    samples: int,
+    has_aperture: bool,
+    normalize_pass: bool,
+):
+    """Trace one full pass for the given flat pixel indices ``idx`` (i32[N]).
+
+    Routes to the whole-pass Pallas kernel on TPU when eligible, else runs
+    the shared pass body with the per-sample trace dispatcher.
+    Returns (col f32[N,3], segments i32).
+    """
+    import os
+
+    from .integrator import trace_grid
+    from .ops import pallas_trace
+    from .ops.vec import LANE, V3
+
+    n = idx.shape[0]
+    rows = -(-n // LANE)
+    n_pad = rows * LANE
+    if n_pad != n:
+        idx = jnp.pad(idx, (0, n_pad - n))
+        active = (jnp.arange(n_pad) < n).reshape(rows, LANE)
+    else:
+        active = None
+    grid_idx = idx.reshape(rows, LANE)
+    px = grid_idx % width
+    py = grid_idx // width
+
+    kwargs = dict(
+        tcfg=tcfg,
+        width=width,
+        height=height,
+        n_strata=n_strata,
+        samples=samples,
+        has_aperture=has_aperture,
+        normalize_pass=normalize_pass,
+    )
+
+    if (
+        os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
+        and pallas_trace.pallas_supported((rows, LANE), pack, tcfg, active)
+    ):
+        col, segs = pallas_trace.render_pass_pallas(pack, frame_seed, px, py, **kwargs)
+    else:
+        col, segs = pass_body_grid(
+            pack,
+            frame_seed,
+            px,
+            py,
+            trace_fn=lambda o, d, s: trace_grid(o, d, s, pack, tcfg, active),
+            active=active,
+            **kwargs,
+        )
     col_rows = jnp.stack(
         [col.x.reshape(n_pad), col.y.reshape(n_pad), col.z.reshape(n_pad)], axis=-1
     )[:n]
