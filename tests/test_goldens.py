@@ -1,0 +1,103 @@
+"""Per-scene regression goldens (SURVEY.md §4: CI-runnable low-res renders
+of all five scenes) plus the >8-light subset path.
+
+Golden statistics (per-channel mean / std of the u8 image) are generated
+on first run into ``tests/goldens.json`` and compared on later runs with a
+1.5% tolerance — loose enough for jax-version fp drift, tight enough to
+catch physics regressions.  Determinism per platform is covered separately
+(test_render.py); these catch cross-cutting behavior changes.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import path_trace_golang_tpu as pt
+from path_trace_golang_tpu import scene as S
+
+from helpers import REF_SCENES, mat, obj, base_camera, solid_sky
+
+GOLDENS_PATH = os.path.join(os.path.dirname(__file__), "goldens.json")
+
+CASES = [
+    # (scene file, contract, depth)
+    ("example_simple.json", "gpu", 4),
+    ("example_simple.json", "cpu", 4),
+    ("gpu_showcase.json", "gpu", 4),
+    ("metal_glass_room.json", "gpu", 5),
+    ("test_scene.json", "gpu", 4),
+    ("test_comprehensive.json", "cpu", 4),
+]
+
+
+def _render_case(name, contract, depth):
+    path = os.path.join(REF_SCENES, name)
+    if not os.path.exists(path):
+        pytest.skip("reference scenes not mounted")
+    sc = S.load(path)
+    r = pt.Renderer(contract=contract, seed=123, chunk=64 * 36)
+    img = r.render(sc, pt.RenderConfig(width=64, height=36, samples_per_px=1, max_depth=depth))
+    return img
+
+
+def _stats(img):
+    f = img.astype(np.float64)
+    return {
+        "mean": [round(float(x), 3) for x in f.mean(axis=(0, 1))],
+        "std": [round(float(x), 3) for x in f.std(axis=(0, 1))],
+    }
+
+
+def _load_goldens():
+    if os.path.exists(GOLDENS_PATH):
+        with open(GOLDENS_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+@pytest.mark.parametrize("name,contract,depth", CASES)
+def test_scene_golden(name, contract, depth):
+    key = f"{name}:{contract}:d{depth}"
+    img = _render_case(name, contract, depth)
+    assert np.isfinite(img.astype(np.float64)).all()
+    assert img.mean() > 1.0  # not black
+    got = _stats(img)
+
+    goldens = _load_goldens()
+    if key not in goldens:
+        goldens[key] = got
+        with open(GOLDENS_PATH, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+        pytest.skip(f"golden recorded for {key}: {got}")
+
+    want = goldens[key]
+    for ch in range(3):
+        assert got["mean"][ch] == pytest.approx(want["mean"][ch], rel=0.015, abs=1.0), key
+        assert got["std"][ch] == pytest.approx(want["std"][ch], rel=0.06, abs=1.5), key
+
+
+def test_many_lights_subset_path():
+    """>8 lights triggers the random-contiguous-window NEE path
+    (gpu.go:1028-1047) with per-lane dynamic gathers."""
+    mats = [mat("floor", "lambert", (0.8, 0.8, 0.8))]
+    objs = [obj("p", "plane", (0, 0, 0), material_id="floor")]
+    for i in range(10):
+        mats.append(mat(f"L{i}", "emissive", emit=(1, 1, 1), power=2.0 + i * 0.1))
+        objs.append(
+            obj(f"l{i}", "sphere_light", (i - 5, 4, -2), (0.3, 0, 0), material_id=f"L{i}")
+        )
+    sc = S.Scene(camera=base_camera(), sky=solid_sky((0, 0, 0)), materials=mats, objects=objs)
+    from path_trace_golang_tpu.soa import pack_scene
+
+    assert pack_scene(sc).n_lights == 10
+    r = pt.Renderer(contract="gpu", seed=5, normalize_pass=True, chunk=48 * 32)
+    img = r.render(sc, pt.RenderConfig(width=48, height=32, samples_per_px=2, max_depth=3))
+    f = img.astype(np.float64)
+    assert np.isfinite(f).all()
+    assert f.mean() > 5.0  # lights actually illuminate the floor
+    # determinism through the dynamic-gather path too
+    r2 = pt.Renderer(contract="gpu", seed=5, normalize_pass=True, chunk=48 * 32)
+    img2 = r2.render(sc, pt.RenderConfig(width=48, height=32, samples_per_px=2, max_depth=3))
+    assert np.array_equal(img, img2)
