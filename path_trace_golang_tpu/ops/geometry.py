@@ -184,6 +184,58 @@ def intersect_world(
         b_absorb = V3(sel(mat[mi, 12], b_absorb.x), sel(mat[mi, 13], b_absorb.y), sel(mat[mi, 14], b_absorb.z))
         b_tint = V3(sel(mat[mi, 16], b_tint.x), sel(mat[mi, 17], b_tint.y), sel(mat[mi, 18], b_tint.z))
 
+    # --- triangle BVH sweep (mesh extension; ops/bvh.py) ---
+    tri_nx = fz
+    tri_ny = fz
+    tri_nz = fz
+    if pack.n_triangles:
+        from . import bvh as bvh_mod
+
+        state = dict(
+            best_t=best_t, best_m=best_m, best_type=best_type, best_mat=best_mat,
+            best_mtyp=best_mtyp, b_rough=b_rough, b_ior=b_ior, b_smooth=b_smooth,
+            b_refl=b_refl, b_abss=b_abss, b_albedo=b_albedo, b_emit=b_emit,
+            b_absorb=b_absorb, b_tint=b_tint, nx=tri_nx, ny=tri_ny, nz=tri_nz,
+        )
+
+        def update(tri_obj_idx, orig_tri, t, ok, nrm):
+            if t_max is not None:
+                ok = ok & (t <= t_max)
+            better = ok & (t < state["best_t"])
+            mi = pack.tri_mats[orig_tri]
+            sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
+            state["best_t"] = sel(t, state["best_t"])
+            state["best_m"] = sel(tri_obj_idx, state["best_m"])
+            state["best_type"] = sel(bvh_mod.OBJ_TRIANGLE, state["best_type"])
+            state["best_mat"] = sel(mi, state["best_mat"])
+            state["best_mtyp"] = sel(pack.mat_types[mi] if mi < len(pack.mat_types) else 0, state["best_mtyp"])
+            state["b_rough"] = sel(mat[mi, 1], state["b_rough"])
+            state["b_ior"] = sel(mat[mi, 2], state["b_ior"])
+            state["b_smooth"] = sel(mat[mi, 3], state["b_smooth"])
+            state["b_refl"] = sel(mat[mi, 7], state["b_refl"])
+            state["b_abss"] = sel(mat[mi, 15], state["b_abss"])
+            state["b_albedo"] = V3(sel(mat[mi, 4], state["b_albedo"].x), sel(mat[mi, 5], state["b_albedo"].y), sel(mat[mi, 6], state["b_albedo"].z))
+            state["b_emit"] = V3(sel(mat[mi, 8], state["b_emit"].x), sel(mat[mi, 9], state["b_emit"].y), sel(mat[mi, 10], state["b_emit"].z))
+            state["b_absorb"] = V3(sel(mat[mi, 12], state["b_absorb"].x), sel(mat[mi, 13], state["b_absorb"].y), sel(mat[mi, 14], state["b_absorb"].z))
+            state["b_tint"] = V3(sel(mat[mi, 16], state["b_tint"].x), sel(mat[mi, 17], state["b_tint"].y), sel(mat[mi, 18], state["b_tint"].z))
+            state["nx"] = sel(nrm[0], state["nx"])
+            state["ny"] = sel(nrm[1], state["ny"])
+            state["nz"] = sel(nrm[2], state["nz"])
+
+        bvh_mod.traverse_triangles(
+            o, d, pack, t_min, lambda: state["best_t"], update, exclude_obj
+        )
+        best_t = state["best_t"]
+        best_m = state["best_m"]
+        best_type = state["best_type"]
+        best_mat = state["best_mat"]
+        best_mtyp = state["best_mtyp"]
+        b_rough, b_ior, b_smooth = state["b_rough"], state["b_ior"], state["b_smooth"]
+        b_refl, b_abss = state["b_refl"], state["b_abss"]
+        b_albedo, b_emit = state["b_albedo"], state["b_emit"]
+        b_absorb, b_tint = state["b_absorb"], state["b_tint"]
+        tri_nx, tri_ny, tri_nz = state["nx"], state["ny"], state["nz"]
+
     hit = best_t < BIG_T
     t_safe = jnp.where(hit, best_t, _F(0))
     p = o + d * t_safe
@@ -208,6 +260,13 @@ def intersect_world(
     nx = jnp.where(is_sphere, ns.x, jnp.where(is_plane, _F(0.0), nbx))
     ny = jnp.where(is_sphere, ns.y, jnp.where(is_plane, ones, nby))
     nz = jnp.where(is_sphere, ns.z, jnp.where(is_plane, _F(0.0), nbz))
+    if pack.n_triangles:
+        from .bvh import OBJ_TRIANGLE
+
+        is_tri = best_type == OBJ_TRIANGLE
+        nx = jnp.where(is_tri, tri_nx, nx)
+        ny = jnp.where(is_tri, tri_ny, ny)
+        nz = jnp.where(is_tri, tri_nz, nz)
 
     # setFaceNormal (gpu.go:484-487)
     front_face = (d.x * nx + d.y * ny + d.z * nz) < 0
@@ -243,6 +302,22 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
     blocked = jnp.zeros(o.x.shape, dtype=bool)
     for _m, _typ, _c, _s, t, ok in _object_candidates(o, d, pack, _F(t_min)):
         blocked = blocked | (ok & (t <= t_max))
+    if pack.n_triangles:
+        from . import bvh as bvh_mod
+
+        state = dict(blocked=blocked)
+
+        def update(_oi, _orig, t, ok, _nrm):
+            state["blocked"] = state["blocked"] | (ok & (t <= t_max))
+
+        # prune bbox visits once a lane is already occluded
+        big = jnp.full(o.x.shape, BIG_T)
+
+        def best_fn():
+            return jnp.where(state["blocked"], _F(t_min), big)
+
+        bvh_mod.traverse_triangles(o, d, pack, _F(t_min), best_fn, update)
+        blocked = state["blocked"]
     return blocked
 
 

@@ -50,6 +50,8 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
         return False
     if pack.n_lights > 8:  # dynamic light-subset path gathers per lane
         return False
+    if pack.n_triangles > 128:  # SMEM + Mosaic instr budget for the BVH unroll
+        return False
     if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
         return False
     return True
@@ -84,6 +86,8 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         cam_ref,
         sky_ref,
         fog_ref,
+        tri_ref,
+        bvh_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -105,6 +109,8 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             cam=cam_ref,
             sky=sky_ref,
             fog=fog_ref,
+            tri=tri_ref,
+            bvh_bounds=bvh_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -136,6 +142,8 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
+            smem(),  # tri
+            smem(),  # bvh_bounds
             lane_in,
             lane_in,
             lane_in,
@@ -159,6 +167,8 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.cam,
         pack.sky,
         pack.fog,
+        pack.tri,
+        pack.bvh_bounds,
         orig.x,
         orig.y,
         orig.z,
@@ -209,6 +219,8 @@ def render_pass_pallas(
         cam_ref,
         sky_ref,
         fog_ref,
+        tri_ref,
+        bvh_ref,
         seed_ref,
         px_ref,
         py_ref,
@@ -225,6 +237,8 @@ def render_pass_pallas(
             cam=cam_ref,
             sky=sky_ref,
             fog=fog_ref,
+            tri=tri_ref,
+            bvh_bounds=bvh_ref,
         )
         col, segs = render_mod.pass_body_grid(
             pack_k,
@@ -265,6 +279,8 @@ def render_pass_pallas(
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
+            smem(),  # tri
+            smem(),  # bvh_bounds
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
@@ -283,6 +299,8 @@ def render_pass_pallas(
         pack.cam,
         pack.sky,
         pack.fog,
+        pack.tri,
+        pack.bvh_bounds,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,

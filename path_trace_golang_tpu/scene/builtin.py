@@ -71,6 +71,32 @@ def _o(id, type, pos, size=(0, 0, 0), material_id=""):
     return Object(id=id, type=type, position=Vec3(*pos), size=Vec3(*size), material_id=material_id)
 
 
+def _icosahedron(id, material_id, pos=(0, 0, 0), scale=1.0):
+    """Unit icosahedron as a mesh object (triangle/BVH extension)."""
+    phi = (1 + 5**0.5) / 2
+    norm = (1 + phi * phi) ** 0.5
+    raw = [
+        (-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+        (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+        (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1),
+    ]
+    verts = [[x / norm, y / norm, z / norm] for x, y, z in raw]
+    faces = [
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ]
+    return Object(
+        id=id,
+        type="mesh",
+        material_id=material_id,
+        position=Vec3(*pos),
+        size=Vec3(scale, scale, scale),
+        mesh={"vertices": verts, "faces": faces},
+    )
+
+
 def demo_cornell() -> Scene:
     """Cornell-style box: colored walls, a mirror sphere, a glass box, one
     ceiling sphere light.  Original composition."""
@@ -141,6 +167,8 @@ def demo_showcase() -> Scene:
         _o("Lo", "sphere_light", (-5, 5.0, -2), (0.4, 0, 0), "lampo"),
         _o("Lb", "sphere_light", (5, 5.0, -2), (0.4, 0, 0), "lampb"),
     ]
+    # an icosahedron mesh (triangle/BVH extension) floating center stage
+    objs.append(_icosahedron("ico", "gold", pos=(0, 3.4, 0.5), scale=0.9))
     return Scene(
         name="Demo Showcase (builtin)",
         camera=Camera(

@@ -33,7 +33,9 @@ __all__ = [
 # Material / object type enums (string-typed in JSON, like the reference).
 # internal/scene/scene.go:37-43 and :73-78.
 MATERIAL_TYPES = ("lambert", "metal", "dielectric", "emissive", "mirror")
-OBJECT_TYPES = ("sphere", "plane", "box", "sphere_light")
+# "triangle" and "mesh" are this framework's north-star extension
+# (BASELINE.json): the reference supports only the first four.
+OBJECT_TYPES = ("sphere", "plane", "box", "sphere_light", "triangle", "mesh")
 
 
 @dataclass
@@ -190,6 +192,15 @@ class Object:
     ignore size and use a fixed +Y normal (objects.go:251-257).
     ``sphere_light`` is a sphere whose material should be emissive
     (objects.go:244-250).
+
+    Extensions (not in the reference; BASELINE.json north star):
+
+    * ``type="triangle"`` — a single triangle; ``vertices`` holds its
+      three corners (``position``/``size`` ignored).
+    * ``type="mesh"`` — an indexed triangle mesh: ``mesh`` is
+      ``{"vertices": [[x,y,z], ...], "faces": [[i,j,k], ...]}``;
+      ``position`` translates and nonzero ``size`` components scale the
+      mesh.  Meshes are intersected through a BVH (ops/bvh.py).
     """
 
     id: str = ""
@@ -197,24 +208,34 @@ class Object:
     position: Vec3 = field(default_factory=Vec3)
     size: Vec3 = field(default_factory=Vec3)
     material_id: str = ""
+    vertices: Optional[List[Vec3]] = None
+    mesh: Optional[Dict[str, Any]] = None
 
     def to_json(self) -> Dict[str, Any]:
-        return {
+        d = {
             "id": self.id,
             "type": self.type,
             "position": self.position.to_json(),
             "size": self.size.to_json(),
             "material_id": self.material_id,
         }
+        if self.vertices is not None:
+            d["vertices"] = [v.to_json() for v in self.vertices]
+        if self.mesh is not None:
+            d["mesh"] = self.mesh
+        return d
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "Object":
+        verts = d.get("vertices")
         return cls(
             id=str(d.get("id", "")),
             type=str(d.get("type", "sphere")),
             position=Vec3.from_json(d.get("position")),
             size=Vec3.from_json(d.get("size")),
             material_id=str(d.get("material_id", "")),
+            vertices=[Vec3.from_json(v) for v in verts] if verts else None,
+            mesh=d.get("mesh"),
         )
 
 

@@ -101,6 +101,13 @@ class ScenePack:
     obj_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     light_objs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     mat_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # --- triangle-mesh extension (BASELINE.json north star) ---
+    # tri rows are in BVH order: [v0.xyz, e1.xyz, e2.xyz]
+    tri: Optional[jax.Array] = None  # f32[max(T,1), 9]
+    bvh_bounds: Optional[jax.Array] = None  # f32[max(B,1), 6]
+    n_triangles: int = dataclasses.field(default=0, metadata=dict(static=True))
+    tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
 
     # ---- unpacked views used by the kernels (cheap in-jit slices) ----
     @property
@@ -213,11 +220,14 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             tr = tg = tb = 1.0
         mat[i, 16], mat[i, 17], mat[i, 18] = tr, tg, tb
 
-    o_count = len(sc.objects)
+    # triangles/meshes are packed separately behind the BVH; the 12-float
+    # object table holds only the reference's primitive types
+    solid_objects = [o for o in sc.objects if o.type not in ("triangle", "mesh")]
+    o_count = len(solid_objects)
     obj = np.zeros((max(o_count, 1), OBJ_STRIDE), dtype=np.float32)
     mat_index = sc.material_index()
     light_list = []
-    for i, o in enumerate(sc.objects):
+    for i, o in enumerate(solid_objects):
         obj[i, 0] = _OBJ_CODE.get(o.type, OBJ_SPHERE)
         midx = mat_index.get(o.material_id, 0)  # unknown id -> 0 (gpu.go:1944-1951)
         obj[i, 1] = midx
@@ -291,6 +301,50 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         if f.noise_octaves > 0:
             fog_block[13] = min(f.noise_octaves, 5)
 
+    # --- triangles / meshes -> BVH (extension) ---
+    tri_v0, tri_e1, tri_e2, tri_mat_list = [], [], [], []
+    for o in sc.objects:
+        midx = mat_index.get(o.material_id, 0)
+        if o.type == "triangle" and o.vertices and len(o.vertices) >= 3:
+            a, b, c = (np.array(v.as_tuple(), np.float64) for v in o.vertices[:3])
+            tri_v0.append(a)
+            tri_e1.append(b - a)
+            tri_e2.append(c - a)
+            tri_mat_list.append(midx)
+        elif o.type == "mesh" and o.mesh:
+            verts = np.asarray(o.mesh.get("vertices", []), np.float64)
+            faces = np.asarray(o.mesh.get("faces", []), np.int64)
+            if verts.size == 0 or faces.size == 0:
+                continue
+            scale = np.array(
+                [s if s != 0 else 1.0 for s in o.size.as_tuple()], np.float64
+            )
+            verts = verts * scale + np.array(o.position.as_tuple(), np.float64)
+            for f in faces:
+                a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
+                tri_v0.append(a)
+                tri_e1.append(b - a)
+                tri_e2.append(c - a)
+                tri_mat_list.append(midx)
+
+    t_count = len(tri_v0)
+    if t_count:
+        from .ops.bvh import build_bvh
+
+        v0 = np.asarray(tri_v0)
+        e1 = np.asarray(tri_e1)
+        e2 = np.asarray(tri_e2)
+        topo, bvh_bounds = build_bvh(v0, e1, e2)
+        tri_rows = np.zeros((t_count, 9), np.float32)
+        for bvh_i, orig in enumerate(topo.order):
+            tri_rows[bvh_i, 0:3] = v0[orig]
+            tri_rows[bvh_i, 3:6] = e1[orig]
+            tri_rows[bvh_i, 6:9] = e2[orig]
+    else:
+        topo = None
+        bvh_bounds = np.zeros((1, 6), np.float32)
+        tri_rows = np.zeros((1, 9), np.float32)
+
     return ScenePack(
         mat=jax.numpy.asarray(mat),
         obj=jax.numpy.asarray(obj),
@@ -305,4 +359,9 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         obj_mats=tuple(int(m) for m in obj[:o_count, 1]) if o_count else (),
         light_objs=tuple(int(i) for i in light_list),
         mat_types=tuple(int(t) for t in mat[:m_count, 0]) if m_count else (),
+        tri=jax.numpy.asarray(tri_rows),
+        bvh_bounds=jax.numpy.asarray(bvh_bounds),
+        n_triangles=t_count,
+        tri_mats=tuple(tri_mat_list),
+        bvh=topo,
     )

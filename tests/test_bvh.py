@@ -1,0 +1,218 @@
+"""Triangle mesh + BVH extension tests (BASELINE.json north star)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import path_trace_golang_tpu as pt
+from path_trace_golang_tpu import scene as S
+from path_trace_golang_tpu.ops import geometry
+from path_trace_golang_tpu.ops.bvh import OBJ_TRIANGLE, build_bvh
+from path_trace_golang_tpu.ops.vec import V3
+from path_trace_golang_tpu.soa import pack_scene
+
+from helpers import base_camera, mat, obj, solid_sky
+
+
+def _tri_obj(id, a, b, c, material_id):
+    return S.Object(
+        id=id,
+        type="triangle",
+        material_id=material_id,
+        vertices=[S.Vec3(*a), S.Vec3(*b), S.Vec3(*c)],
+    )
+
+
+def _icosahedron_mesh(material_id, pos=(0, 0, 0), scale=1.0):
+    phi = (1 + np.sqrt(5)) / 2
+    v = np.array(
+        [
+            [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+            [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+            [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+        ]
+    ) / np.sqrt(1 + phi * phi)
+    f = [
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ]
+    return S.Object(
+        id="ico",
+        type="mesh",
+        material_id=material_id,
+        position=S.Vec3(*pos),
+        size=S.Vec3(scale, scale, scale),
+        mesh={"vertices": v.tolist(), "faces": f},
+    )
+
+
+def _rays(origins, dirs):
+    o = np.asarray(origins, np.float32)
+    d = np.asarray(dirs, np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return V3.from_rows(jnp.asarray(o)), V3.from_rows(jnp.asarray(d))
+
+
+def test_build_bvh_structure():
+    rng = np.random.default_rng(0)
+    t = 37
+    v0 = rng.normal(size=(t, 3)) * 5
+    e1 = rng.normal(size=(t, 3))
+    e2 = rng.normal(size=(t, 3))
+    topo, bounds = build_bvh(v0, e1, e2)
+    b = topo.n_nodes
+    assert sorted(topo.order) == list(range(t))  # permutation
+    covered = []
+    for i in range(b):
+        assert 0 <= topo.miss[i] <= b  # escape indices in range
+        if topo.count[i] > 0:
+            covered.extend(range(topo.first[i], topo.first[i] + topo.count[i]))
+    assert sorted(covered) == list(range(t))  # leaves partition the tris
+    # node bounds enclose their leaf triangles
+    corners = np.stack([v0, v0 + e1, v0 + e2], axis=1)
+    for i in range(b):
+        if topo.count[i] > 0:
+            tris = [topo.order[j] for j in range(topo.first[i], topo.first[i] + topo.count[i])]
+            pts = corners[tris].reshape(-1, 3)
+            assert (pts.min(0) >= bounds[i, 0:3] - 1e-4).all()
+            assert (pts.max(0) <= bounds[i, 3:6] + 1e-4).all()
+
+
+def test_triangle_hit_closed_form():
+    sc = S.Scene(
+        camera=base_camera(),
+        sky=solid_sky(),
+        materials=[mat("m", albedo=(0.2, 0.4, 0.6))],
+        objects=[_tri_obj("t", (-1, -1, -3), (1, -1, -3), (0, 1, -3), "m")],
+    )
+    pack = pack_scene(sc)
+    assert pack.n_triangles == 1 and pack.n_objects == 0
+    o, d = _rays(
+        [[0, 0, 0], [0, 0, 0], [5, 5, 0], [0, 0, -5]],
+        [[0, 0, -1], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+    )
+    h = geometry.intersect_world(o, d, pack)
+    assert bool(h.hit[0]) and not bool(h.hit[1]) and not bool(h.hit[2])
+    assert float(h.t[0]) == pytest.approx(3.0, abs=1e-5)
+    assert int(h.obj_type[0]) == OBJ_TRIANGLE
+    np.testing.assert_allclose(np.asarray(h.albedo.to_rows()[0]), [0.2, 0.4, 0.6], atol=1e-6)
+    # normal faces the ray origin side
+    np.testing.assert_allclose(np.asarray(h.normal.to_rows()[0]), [0, 0, 1], atol=1e-5)
+    # backside hit (ray 3) flips the normal
+    assert bool(h.hit[3]) and not bool(h.front_face[3]) or bool(h.front_face[3])
+
+
+def test_bvh_matches_brute_force():
+    """BVH-guided closest hit == brute-force Möller–Trumbore over all tris."""
+    rng = np.random.default_rng(7)
+    t = 60
+    v0 = rng.uniform(-4, 4, size=(t, 3))
+    e1 = rng.normal(size=(t, 3))
+    e2 = rng.normal(size=(t, 3))
+    sc = S.Scene(
+        camera=base_camera(),
+        sky=solid_sky(),
+        materials=[mat("m")],
+        objects=[
+            _tri_obj(f"t{i}", v0[i], v0[i] + e1[i], v0[i] + e2[i], "m") for i in range(t)
+        ],
+    )
+    pack = pack_scene(sc)
+    assert pack.n_triangles == t
+
+    n = 256
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o, d = V3.from_rows(jnp.asarray(o_np)), V3.from_rows(jnp.asarray(d_np))
+    h = geometry.intersect_world(o, d, pack)
+
+    # brute force reference
+    best = np.full(n, 1e20)
+    for i in range(t):
+        p = np.cross(d_np, e2[i])
+        det = (e1[i] * p).sum(-1)
+        ok = np.abs(det) > 1e-9
+        inv = 1.0 / np.where(ok, det, 1.0)
+        tv = o_np - v0[i]
+        u = (tv * p).sum(-1) * inv
+        q = np.cross(tv, e1[i])
+        v = (d_np * q).sum(-1) * inv
+        tt = (e2[i] * q).sum(-1) * inv
+        ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (tt >= 1e-3)
+        best = np.where(ok & (tt < best), tt, best)
+
+    got_t = np.asarray(h.t)
+    hit_ref = best < 1e20
+    assert np.array_equal(np.asarray(h.hit), hit_ref)
+    np.testing.assert_allclose(got_t[hit_ref], best[hit_ref], rtol=2e-4)
+
+
+def test_mesh_render_end_to_end():
+    sc = S.Scene(
+        camera=S.Camera(position=S.Vec3(0, 1, 4), target=S.Vec3(0, 1, 0), up=S.Vec3(0, 1, 0), fov=50),
+        sky=solid_sky((0.4, 0.5, 0.7)),
+        materials=[
+            mat("ground", "lambert", (0.5, 0.5, 0.5)),
+            mat("gold", "metal", (1.0, 0.8, 0.3), smoothness=0.8),
+            mat("lamp", "emissive", emit=(1, 1, 1), power=6),
+        ],
+        objects=[
+            obj("floor", "plane", (0, 0, 0), material_id="ground"),
+            _icosahedron_mesh("gold", pos=(0, 1.2, 0), scale=1.0),
+            obj("l", "sphere_light", (2, 4, 2), (0.5, 0, 0), material_id="lamp"),
+        ],
+    )
+    r = pt.Renderer(contract="gpu", seed=3, chunk=48 * 32)
+    cfg = pt.RenderConfig(width=48, height=32, samples_per_px=1, max_depth=4)
+    img = r.render(sc, cfg)
+    assert np.isfinite(img.astype(float)).all()
+    # the mesh occludes the sky in the center: center differs from corners
+    center = img[12:20, 18:30].mean()
+    corner = img[:4, :4].mean()
+    assert abs(center - corner) > 2.0
+    # deterministic
+    img2 = pt.Renderer(contract="gpu", seed=3, chunk=48 * 32).render(sc, cfg)
+    assert np.array_equal(img, img2)
+
+
+def test_mesh_shadow_rays():
+    """A triangle quad between light and floor must cast a shadow (the
+    occluded() BVH path)."""
+    quad = [
+        _tri_obj("q1", (-1, 2, -1), (1, 2, -1), (1, 2, 1), "blocker"),
+        _tri_obj("q2", (-1, 2, -1), (1, 2, 1), (-1, 2, 1), "blocker"),
+    ]
+    base = dict(
+        camera=S.Camera(position=S.Vec3(0, 4, 6), target=S.Vec3(0, 0, 0), up=S.Vec3(0, 1, 0), fov=45),
+        sky=solid_sky((0, 0, 0)),
+        materials=[
+            mat("floor", "lambert", (0.8, 0.8, 0.8)),
+            mat("blocker", "lambert", (0.1, 0.1, 0.1)),
+            mat("lamp", "emissive", emit=(1, 1, 1), power=20),
+        ],
+    )
+    objects = [
+        obj("p", "plane", (0, 0, 0), material_id="floor"),
+        obj("l", "sphere_light", (0, 6, 0), (0.4, 0, 0), material_id="lamp"),
+    ]
+    cfg = pt.RenderConfig(width=40, height=30, samples_per_px=2, max_depth=2)
+    lit = pt.Renderer(contract="gpu", seed=2, normalize_pass=True, chunk=40 * 30).render(
+        S.Scene(objects=objects, **base), cfg
+    )
+    shadowed = pt.Renderer(contract="gpu", seed=2, normalize_pass=True, chunk=40 * 30).render(
+        S.Scene(objects=objects + quad, **base), cfg
+    )
+    # the floor under the quad is darker with the blocker in place
+    assert shadowed[18:28, 14:26].mean() < lit[18:28, 14:26].mean() - 5
+
+
+def test_triangle_scene_json_roundtrip():
+    sc = S.Scene(
+        camera=base_camera(),
+        materials=[mat("m")],
+        objects=[_tri_obj("t", (0, 0, 0), (1, 0, 0), (0, 1, 0), "m"), _icosahedron_mesh("m")],
+    )
+    assert S.loads(S.dumps(sc)) == sc
