@@ -1,7 +1,8 @@
 """PNG output (engine.SavePNG analog, util.go:45-55).
 
-Uses PIL when available (it is in the standard image), with a minimal
-dependency-free zlib fallback encoder so the framework stays standalone.
+Encoder preference: the native C++ tier (csrc/pt_native.cpp via ctypes —
+per-row filter selection + zlib), then PIL, then a minimal dependency-free
+zlib fallback, so the framework stays standalone everywhere.
 """
 
 from __future__ import annotations
@@ -23,6 +24,13 @@ def save_png(path: Union[str, os.PathLike], img: np.ndarray) -> None:
         raise TypeError(f"save_png expects uint8, got {img.dtype}")
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError(f"save_png expects [H,W,3|4], got {img.shape}")
+    from .utils import native
+
+    data = native.encode_png(img)
+    if data is not None:
+        with open(os.fspath(path), "wb") as f:
+            f.write(data)
+        return
     try:
         from PIL import Image
 
