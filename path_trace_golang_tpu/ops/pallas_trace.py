@@ -34,10 +34,12 @@ from .vec import LANE, V3
 __all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK_ROWS"]
 
 # Lanes per block = BLOCK_ROWS * 128.  Small blocks keep the while-loop
-# carry at one vector register per state array (Mosaic unrolls block rows
-# into (8,128) vregs — big blocks explode compile time and registers) and
-# give fine-grained per-block early exit when a block's paths all die.
-BLOCK_ROWS = 8
+# carry manageable (Mosaic unrolls block rows into (8,128) vregs — very
+# large blocks explode compile time and registers; 256 rows fails to
+# compile) and give per-block early exit when a block's paths all die.
+# Swept on v5e at 1080p/gpu_showcase: 8->231ms, 16->191ms, 32->186ms,
+# 64->200ms per 262k-lane chunk-pass.
+BLOCK_ROWS = 32
 
 
 def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
