@@ -142,11 +142,13 @@ class MeshRenderer:
         contract: str = "gpu",
         normalize_pass: bool = False,
         seed: int = 1,
+        faithful_fog: bool = False,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.contract = contract
         self.normalize_pass = normalize_pass
         self.seed = seed
+        self.faithful_fog = faithful_fog
         self.stats = RenderStats()
 
     def render(
@@ -165,7 +167,9 @@ class MeshRenderer:
         n_pad = -(-n // n_px) * n_px
 
         pack = pack_scene(sc, w, h)
-        tcfg = trace_config_for_scene(pack, sc, cfg.max_depth, self.contract)
+        tcfg = trace_config_for_scene(
+            pack, sc, cfg.max_depth, self.contract, faithful_fog=self.faithful_fog
+        )
         has_aperture = sc.camera.aperture > 0
         if self.contract == "gpu":
             n_strata, samples = 4, 16

@@ -113,7 +113,7 @@ def demo_cornell() -> Scene:
             _m("green", "lambert", (0.12, 0.45, 0.15)),
             _m("mirror", "mirror", (0.92, 0.92, 0.92)),
             _m("glass", "dielectric", ior=1.5, absorption=(0.4, 0.2, 0.05), absorption_scale=0.3),
-            _m("lamp", "emissive", emit=(1.0, 0.85, 0.7), power=14.0),
+            _m("lamp", "emissive", emit=(1.0, 0.85, 0.7), power=1.2),
         ],
         objects=[
             _o("floor", "box", (0, -0.25, 0), (11, 0.5, 11), "white"),
@@ -143,9 +143,9 @@ def demo_showcase() -> Scene:
         _m("chrome", "mirror", (0.9, 0.9, 0.9)),
         _m("clear", "dielectric", ior=1.5),
         _m("amber", "dielectric", ior=1.45, absorption=(0.2, 0.6, 1.4), absorption_scale=0.4, tint=(1.0, 0.85, 0.6)),
-        _m("lampw", "emissive", emit=(1, 1, 1), power=10.0),
-        _m("lampo", "emissive", emit=(1.0, 0.6, 0.2), power=7.0),
-        _m("lampb", "emissive", emit=(0.4, 0.6, 1.0), power=7.0),
+        _m("lampw", "emissive", emit=(1, 1, 1), power=5.0),
+        _m("lampo", "emissive", emit=(1.0, 0.6, 0.2), power=3.5),
+        _m("lampb", "emissive", emit=(0.4, 0.6, 1.0), power=3.5),
     ]
     objs = [
         _o("ground", "plane", (0, 0, 0), material_id="ground"),
