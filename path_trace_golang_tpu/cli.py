@@ -101,7 +101,16 @@ def main(argv=None) -> int:
     if args.interactive and not args.headless:
         from .interactive import InteractiveSession
 
-        InteractiveSession(sc, mode=args.mode).run_terminal()
+        session = InteractiveSession(
+            sc,
+            mode=args.mode,
+            scene_path=builtin.find_scene(args.scene),
+            renderer=R.Renderer(normalize_pass=args.normalize, seed=args.seed),
+        )
+        # CLI overrides apply to the preview loop too
+        s = resolve_settings(sc, args.mode, args)
+        session.settings = s
+        session.run_terminal()
         return 0
 
     settings = resolve_settings(sc, args.mode, args)
