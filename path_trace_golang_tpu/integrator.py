@@ -521,8 +521,9 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         # emitted (materials.go:67-72); emissive does not scatter
         radiance = radiance + V3.where(alive & is_emissive, throughput * hit.emit, zero3)
 
-        # Lambert: cosine + small rough jitter (materials.go:76-97)
-        cos_dir = sampling.cosine_direction(n, rng.next(), rng.next())
+        # Lambert: cosine + small rough jitter (materials.go:76-97); the
+        # CPU core uses a proper-ONB cosine frame (math.go:94-131)
+        cos_dir = sampling.cosine_direction_onb(n, rng.next(), rng.next())
         jit_ball = sampling.unit_ball(*rng.next3())
         lam_dir = (cos_dir + jit_ball * (rough * _F(0.1))).normalize()
         lambert_dir = V3.where(rough > _F(1e-6), lam_dir, cos_dir)
@@ -530,7 +531,7 @@ def _trace_cpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         # Metal: lerp mirror -> cosine-around-mirror by alpha=rough^2
         # (materials.go:99-160)
         reflected = optics.reflect(view_dir, n)
-        cos_around_refl = sampling.cosine_direction(reflected, rng.next(), rng.next())
+        cos_around_refl = sampling.cosine_direction_onb(reflected, rng.next(), rng.next())
         alpha = rough * rough
         blended = reflected * (_F(1.0) - alpha) + cos_around_refl * alpha
         blen2 = blended.length_sq()

@@ -17,6 +17,7 @@ from .vec import V3
 __all__ = [
     "unit_ball",
     "cosine_direction",
+    "cosine_direction_onb",
     "sphere_surface",
     "sample_ggx",
 ]
@@ -65,6 +66,28 @@ def cosine_direction(normal: V3, u1, u2) -> V3:
     ly = sin_theta * jnp.sin(phi)
     d = axis * lx + v * ly + normal * cos_theta
     return d.normalize()
+
+
+def cosine_direction_onb(normal: V3, u1, u2) -> V3:
+    """Cosine-weighted hemisphere with a *proper* orthonormal basis.
+
+    The CPU core's randomCosineDirection (math.go:94-131) orthonormalizes
+    its frame (v = w x axis normalized, u = v x w), unlike the GPU
+    shader's skewed frame (Q3) — the cpu contract uses this variant.
+    """
+    phi = TWO_PI * u1
+    cos_theta = jnp.sqrt(u2)
+    sin_theta = jnp.sqrt(jnp.maximum(_F(0), _F(1.0) - u2))
+
+    use_y = jnp.abs(normal.x) > _F(0.9)
+    zero = jnp.zeros_like(normal.x)
+    one = jnp.ones_like(normal.x)
+    axis = V3(jnp.where(use_y, zero, one), jnp.where(use_y, one, zero), zero)
+    w = normal
+    v = w.cross(axis).normalize()
+    u = v.cross(w)
+
+    return u * (sin_theta * jnp.cos(phi)) + v * (sin_theta * jnp.sin(phi)) + w * cos_theta
 
 
 def sphere_surface(u1, u2) -> V3:

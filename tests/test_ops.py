@@ -243,6 +243,16 @@ def test_cosine_direction_distribution():
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
 
 
+def test_cosine_direction_onb_distribution():
+    n = 20000
+    r = _uniforms(n, seed=21)
+    normal = V3(jnp.zeros(n), jnp.zeros(n), jnp.ones(n))
+    d = np.asarray(sampling.cosine_direction_onb(normal, r.next(), r.next()).to_rows())
+    assert (d[:, 2] > -1e-6).all()
+    assert abs(d[:, 2].mean() - 2 / 3) < 0.02
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+
+
 def test_unit_ball_distribution():
     n = 20000
     r = _uniforms(n, seed=5)
