@@ -141,9 +141,13 @@ class InteractiveSession:
                 if gen == self._generation and self.on_frame is not None:
                     self.on_frame(pass_idx, img)
 
-            img = self.renderer.render(
-                sc, cfg, progress=progress, cancel=lambda: cancel_flag.is_set()
-            )
+            try:
+                img = self.renderer.render(
+                    sc, cfg, progress=progress, cancel=lambda: cancel_flag.is_set()
+                )
+            except Exception as e:  # surface render errors to the status line
+                self.on_status(f"render error: {e!r}")
+                return
             elapsed = time.perf_counter() - t0
             self.fps = 1.0 / elapsed if elapsed > 0 else 0.0  # app.go:217-220
             if gen == self._generation or wait:

@@ -47,7 +47,7 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
         return False
     if len(shape) != 2 or shape[1] != LANE:
         return False
-    if shape[0] % _block_rows(shape) != 0:
+    if shape[0] % _block_rows(shape, getattr(cfg, "max_depth", 12)) != 0:
         return False
     if pack.n_lights > 8:  # dynamic light-subset path gathers per lane
         return False
@@ -58,9 +58,14 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
     return True
 
 
-def _block_rows(shape) -> int:
+def _block_rows(shape, max_depth: int = 12) -> int:
+    # Deep-bounce configs (the reference's 'final' preset runs depth 80+
+    # with russian roulette only in the last 3 bounces) are dominated by
+    # straggler paths that keep a whole block's while-loop alive; smaller
+    # blocks let early exit reclaim them (measured 100x wall-clock skew at
+    # depth 80 with 32-row blocks).
     r = shape[0]
-    br = min(BLOCK_ROWS, r)
+    br = min(BLOCK_ROWS if max_depth <= 24 else 8, r)
     while r % br:
         br //= 2
     return max(br, 1)
@@ -75,7 +80,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
 
     shape = orig.x.shape
     rows = shape[0]
-    br = _block_rows(shape)
+    br = _block_rows(shape, cfg.max_depth)
     n_blocks = rows // br
 
     trace_fn = integ._trace_cpu if cfg.contract == "cpu" else integ._trace_gpu
@@ -208,7 +213,7 @@ def render_pass_pallas(
 
     shape = px.shape
     rows = shape[0]
-    br = _block_rows(shape)
+    br = _block_rows(shape, tcfg.max_depth)
     n_blocks = rows // br
 
     trace_core = integ._trace_cpu if tcfg.contract == "cpu" else integ._trace_gpu
