@@ -396,3 +396,170 @@ class Oracle:
                         d = _normalize(ll + u[:, None] * horiz + v[:, None] * vert - origin)
                     accum += self.ray_color(o, d)
         return (accum / passes).reshape(h, w, 3)
+
+
+class OracleCPU(Oracle):
+    """CPU-contract oracle (renderer.go rayColorOpt + materials.go):
+    no NEE/fog, lambert rough jitter, lerp metal, refraction-ratio Schlick,
+    exit-scan Beer-Lambert with ray teleport to the exit point."""
+
+    def ray_color(self, o, d):
+        n_rays = o.shape[0]
+        radiance = np.zeros((n_rays, 3))
+        thr = np.ones((n_rays, 3))
+        alive = np.ones(n_rays, bool)
+        o, d = o.copy(), d.copy()
+
+        for depth_i in range(self.max_depth):
+            if not alive.any():
+                break
+            h = self.hit_world(o, d)
+            miss = alive & ~h["hit"]
+            radiance[miss] += thr[miss] * self.sky_color(_normalize(d[miss]))
+            alive = alive & h["hit"]
+
+            mrow = self.mat[h["mi"]]
+            typ = np.round(mrow[:, 0]).astype(int)
+            albedo, emit = mrow[:, 4:7], mrow[:, 8:11]
+            rough = np.where((typ == 1) & (mrow[:, 3] > 0), 1 - mrow[:, 3], np.clip(mrow[:, 1], 0, 1))
+            rough = np.clip(rough, 0, 1)
+            ior = np.where(mrow[:, 2] == 0, 1.5, mrow[:, 2])
+
+            em = alive & (typ == 3)
+            radiance[em] += thr[em] * emit[em]
+            dead = ~alive | (typ == 3)
+
+            vd = _normalize(d)
+            nrm = h["n"]
+            new_dir = np.zeros_like(d)
+            atten = albedo.copy()
+            new_orig = h["p"].copy()
+
+            def cosine_onb(normal):
+                nn = normal.shape[0]
+                phi = 2 * np.pi * self.rng.random(nn)
+                r2 = self.rng.random(nn)
+                ct, st = np.sqrt(r2), np.sqrt(np.maximum(0, 1 - r2))
+                use_y = np.abs(normal[:, 0]) > 0.9
+                axis = np.where(use_y[:, None], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0])
+                w = normal
+                v = _normalize(np.cross(w, axis))
+                u = np.cross(v, w)
+                return u * (st * np.cos(phi))[:, None] + v * (st * np.sin(phi))[:, None] + w * ct[:, None]
+
+            lam = alive & (typ == 0)
+            if lam.any():
+                cdir = cosine_onb(nrm)
+                # unit-ball jitter * rough * 0.1 (materials.go:84-91)
+                z = 1 - 2 * self.rng.random(n_rays)
+                phi = 2 * np.pi * self.rng.random(n_rays)
+                rr = np.sqrt(np.maximum(0, 1 - z * z))
+                rad3 = np.cbrt(self.rng.random(n_rays))
+                ball = np.stack([rr * np.cos(phi), rr * np.sin(phi), z], -1) * rad3[:, None]
+                jit = _normalize(cdir + ball * (rough * 0.1)[:, None])
+                new_dir[lam] = np.where((rough > 1e-6)[lam, None], jit[lam], cdir[lam])
+
+            met = alive & ((typ == 1) | (typ == 4))
+            if met.any():
+                reflected = vd - 2 * np.sum(vd * nrm, -1, keepdims=True) * nrm
+                cav = cosine_onb(reflected)
+                alpha = (rough * rough)[:, None]
+                blend = reflected * (1 - alpha) + cav * alpha
+                l2 = np.sum(blend * blend, -1)
+                blend = np.where((l2 < 1e-8)[:, None], reflected, _normalize(blend))
+                wrong = np.sum(blend * nrm, -1) <= 0
+                rblend = np.where(wrong[:, None], reflected, blend)
+                nd = np.where((rough > 1e-6)[:, None], rblend, reflected)
+                new_dir[met] = nd[met]
+
+            die = alive & (typ == 2)
+            if die.any():
+                ct = np.minimum(-np.sum(vd * nrm, -1), 1.0)
+                stheta = np.sqrt(np.maximum(0, 1 - ct * ct))
+                entering = h["front"]
+                ratio = np.where(entering, 1 / ior, ior)
+                cannot = ratio * stheta > 1
+                r0 = ((1 - ratio) / (1 + ratio)) ** 2  # Schlick on the ratio (materials.go:192,226-231)
+                prob = r0 + (1 - r0) * (1 - ct) ** 5
+                u = self.rng.random(n_rays)
+                do_refl = cannot | (prob > u)
+                mirror = vd - 2 * np.sum(vd * nrm, -1, keepdims=True) * nrm
+                rp = ratio[:, None] * (vd + ct[:, None] * nrm)
+                par = np.sqrt(np.maximum(0, 1 - np.minimum(np.sum(rp * rp, -1), 1)))
+                refr = rp - par[:, None] * nrm
+                refr = np.where(cannot[:, None], mirror, refr)
+                dd = np.where(do_refl[:, None], mirror, refr)
+                new_dir[die] = dd[die]
+                atten[die] = 1.0
+
+                # exit scan (renderer.go:316-371): closest dielectric
+                # backface along the scattered ray, distSq in (1e-8, 1000)
+                scan = die & entering & ~do_refl
+                if scan.any():
+                    hx = self.hit_world(h["p"], dd, t_min=1e-4)
+                    # need backface dielectric check per candidate; the
+                    # closest-hit record suffices for convex single-glass
+                    # test scenes: accept if dielectric and backface
+                    mrow2 = self.mat[hx["mi"]]
+                    is_diel2 = np.round(mrow2[:, 0]).astype(int) == 2
+                    delta = hx["p"] - h["p"]
+                    d2 = np.sum(delta**2, -1)
+                    okx = scan & hx["hit"] & is_diel2 & ~hx["front"] & (d2 > 1e-8) & (d2 < 1000.0)
+                    absn = mrow[:, 12:15]
+                    has_abs = (absn > 0).any(-1)
+                    beer = np.exp(-absn * np.sqrt(np.maximum(d2, 0))[:, None])
+                    app = okx & has_abs
+                    atten[app] = beer[app]
+                    new_orig[okx] = hx["p"][okx]
+
+            remaining = self.max_depth - depth_i
+            if remaining <= 3:
+                mc = atten.max(-1)
+                pr = np.minimum(mc, 0.95)
+                u = self.rng.random(n_rays)
+                kill = (mc < 1e-6) | (u > pr)
+                atten = np.where(kill[:, None], atten, atten / np.maximum(pr, 1e-6)[:, None])
+                dead = dead | kill
+
+            alive = alive & ~dead
+            thr[alive] *= atten[alive]
+            o = np.where(alive[:, None], new_orig, o)
+            d = np.where(alive[:, None], new_dir, d)
+        return radiance
+
+    def render(self, passes=8):
+        """CPU contract: one jittered sample per pass (no strata, no 16x)."""
+        w, h = self.width, self.height
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        px = xs.ravel().astype(np.float64)
+        fy = (h - 1 - ys).ravel().astype(np.float64)
+        n = w * h
+        accum = np.zeros((n, 3))
+        cam = self.cam
+        aspect = cam[15] if cam[15] != 0 else w / h
+        theta = cam[12] * np.pi / 180
+        vh = 2 * np.tan(theta / 2)
+        vw = aspect * vh
+        origin, target, up = cam[0:3], cam[4:7], cam[8:11]
+        wv = _normalize((origin - target)[None])[0]
+        uv = _normalize(np.cross(up, wv)[None])[0]
+        vv = np.cross(wv, uv)
+        focus = cam[14] if cam[14] != 0 else np.linalg.norm(origin - target)
+        horiz, vert = vw * focus * uv, vh * focus * vv
+        ll = origin - horiz / 2 - vert / 2 - wv * focus
+        lens_r = self.aperture / 2
+        for _p in range(passes):
+            u = (px + self.rng.random(n)) / (w - 1)
+            v = (fy + self.rng.random(n)) / (h - 1)
+            if lens_r > 0:
+                z = 1 - 2 * self.rng.random(n)
+                phi = 2 * np.pi * self.rng.random(n)
+                rr = np.sqrt(np.maximum(0, 1 - z * z)) * np.cbrt(self.rng.random(n))
+                off = ((rr * np.cos(phi))[:, None] * uv + (rr * np.sin(phi))[:, None] * vv) * lens_r
+                o = origin + off
+                dd = _normalize(ll + u[:, None] * horiz + v[:, None] * vert - origin - off)
+            else:
+                o = np.broadcast_to(origin, (n, 3)).copy()
+                dd = _normalize(ll + u[:, None] * horiz + v[:, None] * vert - origin)
+            accum += self.ray_color(o, dd)
+        return (accum / passes).reshape(h, w, 3)

@@ -70,3 +70,36 @@ def test_oracle_agreement(scene):
     rel = np.abs(ab - bb) / np.maximum(np.abs(bb), 0.15 * np.abs(bb).mean())
     assert np.median(rel) < 0.06, float(np.median(rel))
     assert (rel < 0.25).mean() > 0.9, float((rel < 0.25).mean())
+
+
+def test_oracle_agreement_cpu_contract(scene):
+    """CPU contract vs the independent CPU-contract oracle."""
+    from oracle import OracleCPU
+
+    pack = pack_scene(scene, W, H)
+    tcfg = trace_config_for_scene(pack, scene, DEPTH, "cpu")
+    idx = jnp.arange(W * H, dtype=jnp.int32)
+    accum = np.zeros((W * H, 3), np.float64)
+    passes = 24
+    for p in range(passes):
+        col, _ = trace_pass_lanes(
+            pack,
+            jnp.uint32(11 + p),
+            idx,
+            tcfg=tcfg,
+            width=W,
+            height=H,
+            n_strata=1,
+            samples=1,
+            has_aperture=scene.camera.aperture > 0,
+            normalize_pass=False,
+        )
+        accum += np.asarray(col, np.float64)
+    ours = (accum / passes).reshape(H, W, 3)
+
+    oracle = OracleCPU(scene, W, H, DEPTH, rng=np.random.default_rng(5))
+    theirs = oracle.render(passes=passes)
+
+    for ch in range(3):
+        a, b = ours[..., ch].mean(), theirs[..., ch].mean()
+        assert a == pytest.approx(b, rel=0.05), (ch, a, b)
