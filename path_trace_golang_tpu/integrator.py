@@ -219,7 +219,7 @@ def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, p
     # emissive hits (gpu.go:1474-1496)
     if cfg.has_rough_metal and cfg.enable_nee:
         refl_orig = p + n * _F(0.001)
-        rhit = intersect_world(refl_orig, mirror_dir, pack, _F(0.001))
+        rhit = intersect_world(refl_orig, mirror_dir, pack, _F(0.001), lite=True)
         dist_sq = jnp.maximum(rhit.t * rhit.t, _F(1e-20))
         cos_light = jnp.maximum(_F(0), -(rhit.normal.dot(mirror_dir)))
         direct_reflect = rhit.emit * (cos_light / dist_sq)

@@ -127,11 +127,15 @@ def intersect_world(
     t_min=0.001,
     t_max=None,
     exclude_obj: Optional[jnp.ndarray] = None,
+    lite: bool = False,
 ) -> Hit:
     """Closest hit over all objects (shader hitWorld / bounce-loop scan).
 
     ``exclude_obj``: i32 lane grid of object index to skip (-1 = none) —
     the bounce loop's current-glass-object exclusion (gpu.go:1353-1357).
+    ``lite=True`` skips the winner select-chains not needed by secondary
+    queries (only hit/t/normal/mtyp/emit are tracked) — used by the
+    rough-metal specular-NEE ray (gpu.go:1474-1496).
     """
     shape = o.x.shape
     t_min = _F(t_min)
@@ -167,22 +171,23 @@ def intersect_world(
 
         mi = pack.obj_mats[m]
         best_t = jnp.where(better, t, best_t)
-        best_m = jnp.where(better, m, best_m)
         best_type = jnp.where(better, typ, best_type)
-        best_mat = jnp.where(better, mi, best_mat)
         best_mtyp = jnp.where(better, pack.mat_types[mi] if mi < len(pack.mat_types) else 0, best_mtyp)
         sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
         b_c = V3(sel(cx, b_c.x), sel(cy, b_c.y), sel(cz, b_c.z))
         b_s = V3(sel(sx, b_s.x), sel(sy, b_s.y), sel(sz, b_s.z))
-        b_rough = sel(mat[mi, 1], b_rough)
-        b_ior = sel(mat[mi, 2], b_ior)
-        b_smooth = sel(mat[mi, 3], b_smooth)
-        b_refl = sel(mat[mi, 7], b_refl)
-        b_abss = sel(mat[mi, 15], b_abss)
-        b_albedo = V3(sel(mat[mi, 4], b_albedo.x), sel(mat[mi, 5], b_albedo.y), sel(mat[mi, 6], b_albedo.z))
         b_emit = V3(sel(mat[mi, 8], b_emit.x), sel(mat[mi, 9], b_emit.y), sel(mat[mi, 10], b_emit.z))
-        b_absorb = V3(sel(mat[mi, 12], b_absorb.x), sel(mat[mi, 13], b_absorb.y), sel(mat[mi, 14], b_absorb.z))
-        b_tint = V3(sel(mat[mi, 16], b_tint.x), sel(mat[mi, 17], b_tint.y), sel(mat[mi, 18], b_tint.z))
+        if not lite:
+            best_m = jnp.where(better, m, best_m)
+            best_mat = jnp.where(better, mi, best_mat)
+            b_rough = sel(mat[mi, 1], b_rough)
+            b_ior = sel(mat[mi, 2], b_ior)
+            b_smooth = sel(mat[mi, 3], b_smooth)
+            b_refl = sel(mat[mi, 7], b_refl)
+            b_abss = sel(mat[mi, 15], b_abss)
+            b_albedo = V3(sel(mat[mi, 4], b_albedo.x), sel(mat[mi, 5], b_albedo.y), sel(mat[mi, 6], b_albedo.z))
+            b_absorb = V3(sel(mat[mi, 12], b_absorb.x), sel(mat[mi, 13], b_absorb.y), sel(mat[mi, 14], b_absorb.z))
+            b_tint = V3(sel(mat[mi, 16], b_tint.x), sel(mat[mi, 17], b_tint.y), sel(mat[mi, 18], b_tint.z))
 
     # --- triangle BVH sweep (mesh extension; ops/bvh.py) ---
     tri_nx = fz
@@ -205,22 +210,23 @@ def intersect_world(
             mi = pack.tri_mats[orig_tri]
             sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
             state["best_t"] = sel(t, state["best_t"])
-            state["best_m"] = sel(tri_obj_idx, state["best_m"])
             state["best_type"] = sel(bvh_mod.OBJ_TRIANGLE, state["best_type"])
-            state["best_mat"] = sel(mi, state["best_mat"])
             state["best_mtyp"] = sel(pack.mat_types[mi] if mi < len(pack.mat_types) else 0, state["best_mtyp"])
-            state["b_rough"] = sel(mat[mi, 1], state["b_rough"])
-            state["b_ior"] = sel(mat[mi, 2], state["b_ior"])
-            state["b_smooth"] = sel(mat[mi, 3], state["b_smooth"])
-            state["b_refl"] = sel(mat[mi, 7], state["b_refl"])
-            state["b_abss"] = sel(mat[mi, 15], state["b_abss"])
-            state["b_albedo"] = V3(sel(mat[mi, 4], state["b_albedo"].x), sel(mat[mi, 5], state["b_albedo"].y), sel(mat[mi, 6], state["b_albedo"].z))
             state["b_emit"] = V3(sel(mat[mi, 8], state["b_emit"].x), sel(mat[mi, 9], state["b_emit"].y), sel(mat[mi, 10], state["b_emit"].z))
-            state["b_absorb"] = V3(sel(mat[mi, 12], state["b_absorb"].x), sel(mat[mi, 13], state["b_absorb"].y), sel(mat[mi, 14], state["b_absorb"].z))
-            state["b_tint"] = V3(sel(mat[mi, 16], state["b_tint"].x), sel(mat[mi, 17], state["b_tint"].y), sel(mat[mi, 18], state["b_tint"].z))
             state["nx"] = sel(nrm[0], state["nx"])
             state["ny"] = sel(nrm[1], state["ny"])
             state["nz"] = sel(nrm[2], state["nz"])
+            if not lite:
+                state["best_m"] = sel(tri_obj_idx, state["best_m"])
+                state["best_mat"] = sel(mi, state["best_mat"])
+                state["b_rough"] = sel(mat[mi, 1], state["b_rough"])
+                state["b_ior"] = sel(mat[mi, 2], state["b_ior"])
+                state["b_smooth"] = sel(mat[mi, 3], state["b_smooth"])
+                state["b_refl"] = sel(mat[mi, 7], state["b_refl"])
+                state["b_abss"] = sel(mat[mi, 15], state["b_abss"])
+                state["b_albedo"] = V3(sel(mat[mi, 4], state["b_albedo"].x), sel(mat[mi, 5], state["b_albedo"].y), sel(mat[mi, 6], state["b_albedo"].z))
+                state["b_absorb"] = V3(sel(mat[mi, 12], state["b_absorb"].x), sel(mat[mi, 13], state["b_absorb"].y), sel(mat[mi, 14], state["b_absorb"].z))
+                state["b_tint"] = V3(sel(mat[mi, 16], state["b_tint"].x), sel(mat[mi, 17], state["b_tint"].y), sel(mat[mi, 18], state["b_tint"].z))
 
         bvh_mod.traverse_triangles(
             o, d, pack, t_min, lambda: state["best_t"], update, exclude_obj
