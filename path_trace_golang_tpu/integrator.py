@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -327,6 +328,30 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     glass_dist = jnp.zeros(shape, dtype=jnp.float32)
     segments = jnp.zeros((), dtype=jnp.int32)
 
+    carry = (
+        jnp.zeros((), dtype=jnp.int32),
+        orig,
+        dirv,
+        throughput,
+        radiance,
+        alive0.astype(jnp.int32),
+        state,
+        glass_obj,
+        glass_dist,
+        segments,
+    )
+    carry = gpu_phase(carry, pack, cfg, cfg.max_depth)
+    _d, _o, _dir, _tp, radiance, _alive, state, _go, _gd, segments = carry
+    return radiance, state, segments
+
+
+def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
+    """Run the GPU-contract bounce loop from the carry's current bounce
+    index up to ``d_end`` (static).  The carry layout is
+    (d, orig, dirv, throughput, radiance, alive_i32, rng_state, glass_obj,
+    glass_dist, segments); resumable, which the deep-depth compaction
+    driver uses to re-pack straggler lanes between phases."""
+    shape = carry[1].x.shape
     # legacy sky fog condition (gpu.go:1392)
     sky_fog = (pack.fog[0] > 0) & (pack.fog[2] > _F(0.5))
 
@@ -335,7 +360,7 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         alive_i = carry[5]
         # alive rides the carry as int32: Mosaic cannot legalize i1
         # vectors in scf.while carries
-        return (d < cfg.max_depth) & (jnp.max(alive_i) > 0)
+        return (d < d_end) & (jnp.max(alive_i) > 0)
 
     def body(carry):
         d, orig, dirv, throughput, radiance, alive_i, st, glass_obj, glass_dist, segments = carry
@@ -406,20 +431,113 @@ def _trace_gpu(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         dirv = V3.where(alive, new_dir, dirv)
         return (d + 1, orig, dirv, throughput, radiance, alive.astype(jnp.int32), rng.state, glass_obj, glass_dist, segments)
 
+    return lax.while_loop(cond, body, carry)
+
+
+# ---------------------------------------------------------------------------
+# Deep-depth driver: phased tracing with straggler compaction
+# ---------------------------------------------------------------------------
+
+DEEP_DEPTH_THRESHOLD = 24
+DEEP_PHASE = 12
+
+
+def _trace_gpu_deep(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
+    """GPU contract for deep bounce budgets (the reference's final preset
+    runs depth 80-160 with russian roulette only in the last 3 bounces).
+
+    A handful of straggler paths otherwise keeps every lane block's while
+    loop alive for the full budget (measured 100x wall-clock skew at depth
+    80).  This driver runs the bounce loop in phases of DEEP_PHASE bounces
+    and, between phases, stably partitions lanes alive-first so survivors
+    pack into a few leading blocks — the per-block early exit then
+    reclaims the dead ones.  Lane identity rides along and radiance/rng
+    are scattered back to the original order at the end; per-lane values
+    are unchanged by the permutation (all lane math is elementwise).
+    """
+    shape = orig.x.shape
+    radiance = V3.zeros(shape)
+
+    if cfg.enable_fog_march and cfg.fog_in_trace:
+        fog_on = pack.fog[3] > _F(0.5)
+        fog_radiance, state = _fog_prepass(orig, dirv, state, pack)
+        gate = jnp.where(fog_on, _F(1.0), _F(0.0))
+        radiance = radiance + fog_radiance * gate
+        if active is not None:
+            radiance = V3.where(active, radiance, V3.zeros(shape))
+
+    alive0 = jnp.ones(shape, dtype=bool) if active is None else active
+    n = shape[0] * shape[1]
+    lane_id = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+
     carry = (
         jnp.zeros((), dtype=jnp.int32),
         orig,
         dirv,
-        throughput,
+        V3.full(shape, 1.0),
         radiance,
         alive0.astype(jnp.int32),
         state,
-        glass_obj,
-        glass_dist,
-        segments,
+        jnp.full(shape, -1, dtype=jnp.int32),
+        jnp.zeros(shape, dtype=jnp.float32),
+        jnp.zeros((), dtype=jnp.int32),
     )
-    carry = lax.while_loop(cond, body, carry)
-    _d, _o, _dir, _tp, radiance, _alive, state, _go, _gd, segments = carry
+
+    import os
+
+    use_pallas = False
+    if os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on"):
+        from .ops import pallas_trace
+
+        use_pallas = pallas_trace.pallas_supported(shape, pack, cfg, None)
+
+    def run_phase(carry, d_end):
+        if use_pallas:
+            from .ops import pallas_trace
+
+            return pallas_trace.gpu_phase_pallas(carry, pack, cfg, d_end)
+        return gpu_phase(carry, pack, cfg, d_end)
+
+    d = 0
+    while d < cfg.max_depth:
+        d_end = min(d + DEEP_PHASE, cfg.max_depth)
+        carry = run_phase(carry, d_end)
+        d = d_end
+        if d < cfg.max_depth:
+            (_d, o, dv, thr, rad, alive_i, st, gobj, gdist, segs) = carry
+            # stable alive-first partition via ONE multi-operand sort
+            # (TPU gathers are scalar-slow; the vectorized sort network
+            # moves all 14 lane arrays in a single pass)
+            key = (1 - alive_i).ravel()
+            flat = [
+                a.ravel()
+                for a in (
+                    o.x, o.y, o.z, dv.x, dv.y, dv.z,
+                    thr.x, thr.y, thr.z, rad.x, rad.y, rad.z,
+                    alive_i, st, gobj, gdist, lane_id,
+                )
+            ]
+            sorted_ops = jax.lax.sort([key] + flat, num_keys=1, is_stable=True)
+            rs = lambda a: a.reshape(shape)  # noqa: E731
+            (_k, ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+             alive_i, st, gobj, gdist, lane_id) = [rs(a) for a in sorted_ops]
+            o = V3(ox, oy, oz)
+            dv = V3(dx, dy, dz)
+            thr = V3(tx, ty, tz)
+            rad = V3(rx, ry, rz)
+            carry = (jnp.int32(d), o, dv, thr, rad, alive_i, st, gobj, gdist, segs)
+
+    (_d, _o, _dv, _thr, rad, _alive, st, _go, _gd, segments) = carry
+
+    # restore the original lane order: sort everything by lane_id
+    restored = jax.lax.sort(
+        [lane_id.ravel(), rad.x.ravel(), rad.y.ravel(), rad.z.ravel(), st.ravel()],
+        num_keys=1,
+        is_stable=False,
+    )
+    rs = lambda a: a.reshape(shape)  # noqa: E731
+    radiance = V3(rs(restored[1]), rs(restored[2]), rs(restored[3]))
+    state = rs(restored[4])
     return radiance, state, segments
 
 
@@ -635,6 +753,17 @@ def trace_grid(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     """
     import os
 
+    if (
+        cfg.contract == "gpu"
+        and cfg.max_depth > DEEP_DEPTH_THRESHOLD
+        and os.environ.get("PATHTRACER_DEEP_COMPACTION", "") in ("1", "true", "on")
+    ):
+        # Experimental: phased tracing + alive-first lane sort.  Bit-exact
+        # with the plain trace (tested), but on v5e the per-phase
+        # multi-operand sort costs about as much as the straggler compute
+        # it reclaims at chunk scale (ROADMAP.md) — default off; the
+        # depth-aware 8-row blocks below are the shipped mitigation.
+        return _trace_gpu_deep(orig, dirv, state, pack, cfg, active)
     if os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on"):
         from .ops import pallas_trace
 

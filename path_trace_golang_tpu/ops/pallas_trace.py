@@ -312,3 +312,139 @@ def render_pass_pallas(
         py,
     )
     return V3(cx, cy, cz), jnp.sum(segs)
+
+
+def gpu_phase_pallas(carry, pack: ScenePack, cfg, d_end: int):
+    """Pallas-backed resumable bounce phase (integrator.gpu_phase) for the
+    deep-depth compaction driver: full lane state in and out, per-block
+    early exit within the phase.  Uses small (8-row) blocks — phases exist
+    precisely because stragglers dominate deep configs.
+    """
+    from .. import integrator as integ
+
+    d0, o, dv, thr, rad, alive_i, st, gobj, gdist, segs = carry
+    shape = o.x.shape
+    rows = shape[0]
+    br = min(8, rows)
+    while rows % br:
+        br //= 2
+    n_blocks = rows // br
+
+    def kernel(
+        mat_ref,
+        obj_ref,
+        light_ref,
+        cam_ref,
+        sky_ref,
+        fog_ref,
+        tri_ref,
+        bvh_ref,
+        d0_ref,
+        ox_ref, oy_ref, oz_ref,
+        dx_ref, dy_ref, dz_ref,
+        tx_ref, ty_ref, tz_ref,
+        rx_ref, ry_ref, rz_ref,
+        al_ref, st_ref, go_ref, gd_ref,
+        oox, ooy, ooz,
+        odx, ody, odz,
+        otx, oty, otz,
+        orx, ory, orz,
+        oal, ost, ogo, ogd,
+        oseg,
+    ):
+        pack_k = dataclasses.replace(
+            pack,
+            mat=mat_ref,
+            obj=obj_ref,
+            light_idx=light_ref,
+            cam=cam_ref,
+            sky=sky_ref,
+            fog=fog_ref,
+            tri=tri_ref,
+            bvh_bounds=bvh_ref,
+        )
+        carry_k = (
+            d0_ref[0],
+            V3(ox_ref[:], oy_ref[:], oz_ref[:]),
+            V3(dx_ref[:], dy_ref[:], dz_ref[:]),
+            V3(tx_ref[:], ty_ref[:], tz_ref[:]),
+            V3(rx_ref[:], ry_ref[:], rz_ref[:]),
+            al_ref[:],
+            st_ref[:],
+            go_ref[:],
+            gd_ref[:],
+            jnp.zeros((), jnp.int32),
+        )
+        # d_end rides in as a traced scalar so every phase reuses ONE
+        # compiled kernel
+        out = integ.gpu_phase(carry_k, pack_k, cfg, d0_ref[1])
+        (_d, o2, dv2, thr2, rad2, al2, st2, go2, gd2, seg2) = out
+        oox[:] = o2.x
+        ooy[:] = o2.y
+        ooz[:] = o2.z
+        odx[:] = dv2.x
+        ody[:] = dv2.y
+        odz[:] = dv2.z
+        otx[:] = thr2.x
+        oty[:] = thr2.y
+        otz[:] = thr2.z
+        orx[:] = rad2.x
+        ory[:] = rad2.y
+        orz[:] = rad2.z
+        oal[:] = al2
+        ost[:] = st2
+        ogo[:] = go2
+        ogd[:] = gd2
+        oseg[pl.program_id(0), 0] = seg2
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    lane = lambda: pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
+
+    f32 = lambda: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
+    out_shape = (
+        f32(), f32(), f32(),  # orig
+        f32(), f32(), f32(),  # dir
+        f32(), f32(), f32(),  # throughput
+        f32(), f32(), f32(),  # radiance
+        jax.ShapeDtypeStruct(shape, jnp.int32),   # alive
+        jax.ShapeDtypeStruct(shape, jnp.uint32),  # rng
+        jax.ShapeDtypeStruct(shape, jnp.int32),   # glass obj
+        f32(),                                     # glass dist
+        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[smem()] * 9 + [lane()] * 16,
+        out_specs=tuple([lane()] * 16)
+        + (pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),),
+        out_shape=out_shape,
+    )(
+        pack.mat,
+        pack.obj,
+        pack.light_idx,
+        pack.cam,
+        pack.sky,
+        pack.fog,
+        pack.tri,
+        pack.bvh_bounds,
+        jnp.stack([jnp.asarray(d0, jnp.int32), jnp.asarray(d_end, jnp.int32)]),
+        o.x, o.y, o.z,
+        dv.x, dv.y, dv.z,
+        thr.x, thr.y, thr.z,
+        rad.x, rad.y, rad.z,
+        alive_i, st, gobj, gdist,
+    )
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al, st2, go, gd, seg_blocks) = outs
+    return (
+        jnp.int32(d_end),
+        V3(ox, oy, oz),
+        V3(dx, dy, dz),
+        V3(tx, ty, tz),
+        V3(rx, ry, rz),
+        al,
+        st2,
+        go,
+        gd,
+        segs + jnp.sum(seg_blocks),
+    )

@@ -242,8 +242,15 @@ def trace_pass_lanes(
         normalize_pass=normalize_pass,
     )
 
+    from .integrator import DEEP_DEPTH_THRESHOLD
+
+    deep_compaction = (
+        tcfg.max_depth > DEEP_DEPTH_THRESHOLD
+        and os.environ.get("PATHTRACER_DEEP_COMPACTION", "") in ("1", "true", "on")
+    )
     if (
         os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
+        and not deep_compaction  # experimental path routes via trace_grid
         and pallas_trace.pallas_supported((rows, LANE), pack, tcfg, active)
     ):
         col, segs = pallas_trace.render_pass_pallas(pack, frame_seed, px, py, **kwargs)

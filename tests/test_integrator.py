@@ -202,3 +202,35 @@ def test_radiance_finite_full_feature():
     assert np.isfinite(rad).all()
     assert (rad >= 0).all()
     assert segs >= n  # at least the primary segments
+
+
+def test_deep_compaction_driver_bit_exact():
+    """The experimental phased+compaction driver (PATHTRACER_DEEP_COMPACTION)
+    is bit-exact with the plain trace: radiance, RNG states and segment
+    counts all match (per-lane values are permutation-invariant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_trace_golang_tpu.integrator import _trace_gpu, _trace_gpu_deep
+    from path_trace_golang_tpu.ops.vec import V3
+
+    from helpers import full_feature_scene
+
+    sc = full_feature_scene()
+    sc.fog = None
+    r, l = 8, 128
+    pack = pack_scene(sc, 48, 32)
+    cfg = trace_config_for_scene(pack, sc, 30, "gpu")
+    rng = np.random.default_rng(0)
+    d_np = rng.normal(size=(3, r, l)).astype(np.float32)
+    d_np[2] = -np.abs(d_np[2]) - 0.3
+    d_np /= np.linalg.norm(d_np, axis=0, keepdims=True)
+    o = V3(jnp.zeros((r, l)), jnp.full((r, l), 1.5), jnp.full((r, l), 6.0))
+    d = V3(*[jnp.asarray(c) for c in d_np])
+    st = seed_lanes(jnp.arange(r * l).reshape(r, l) % 48, jnp.arange(r * l).reshape(r, l) // 48, 3)
+
+    r1 = jax.jit(lambda o, d, s: _trace_gpu(o, d, s, pack, cfg))(o, d, st)
+    r2 = jax.jit(lambda o, d, s: _trace_gpu_deep(o, d, s, pack, cfg))(o, d, st)
+    assert np.array_equal(np.asarray(r1[0].to_rows()), np.asarray(r2[0].to_rows()))
+    assert np.array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+    assert int(r1[2]) == int(r2[2])
