@@ -1,0 +1,71 @@
+"""Browser viewer server tests (stdlib HTTP around InteractiveSession)."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from path_trace_golang_tpu.interactive import InteractiveSession
+from path_trace_golang_tpu.render import Renderer
+from path_trace_golang_tpu.scene.model import RenderSettings
+from path_trace_golang_tpu.viewer import ViewerServer
+
+from helpers import lambert_floor_scene
+
+
+@pytest.fixture()
+def server():
+    sc = lambert_floor_scene()
+    sc.settings = RenderSettings(width=32, height=24, samples_per_px=1, max_depth=3)
+    session = InteractiveSession(sc, mode="preview", renderer=Renderer(chunk=32 * 24))
+    srv = ViewerServer(session, port=0)  # ephemeral port
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=30) as r:
+        return r.status, r.read()
+
+
+def test_viewer_page_and_frame(server):
+    code, body = _get(server, "/")
+    assert code == 200 and b"progressive viewer" in body
+
+    server.session.render_now(False)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            code, png = _get(server, "/frame.png")
+            if code == 200:
+                break
+        except urllib.error.HTTPError:
+            pass
+        time.sleep(0.2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+    code, status = _get(server, "/status")
+    st = json.loads(status)
+    assert st["gen"] >= 1 and st["pass"] >= 1
+
+
+def test_viewer_key_and_save(server, tmp_path):
+    server.session.render_now(False)
+    cam = server.session.scene.camera
+    z0 = cam.position.z
+    code, body = _get(server, "/key?k=w")
+    assert code == 200 and json.loads(body)["ok"]
+    assert cam.position.z == z0 - 0.5
+
+    code, body = _get(server, "/key?k=zz")
+    assert not json.loads(body)["ok"]
+
+    out = tmp_path / "v.png"
+    code, body = _get(server, f"/save?path={out}")
+    assert code == 200 and json.loads(body)["saved"] == str(out)
+    from PIL import Image
+
+    assert np.asarray(Image.open(out)).shape[2] == 3
