@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from ..soa import OBJ_BOX, OBJ_PLANE, OBJ_SPHERE, ScenePack
+from ..soa import OBJ_PLANE, OBJ_SPHERE, ScenePack
 from .vec import V3
 
 __all__ = [

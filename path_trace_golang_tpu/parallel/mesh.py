@@ -18,9 +18,8 @@ by tile and needs no further communication.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
