@@ -185,7 +185,7 @@ class MeshRenderer:
         dispatches = -(-passes // n_spp)
         total_passes = dispatches * n_spp  # rounded up to whole dispatches
         update_every = max(1, dispatches // 10)
-        total_segs = jnp.zeros((), jnp.int32)
+        total_segs = jnp.zeros((), jnp.float32)  # i32 overflows on long renders
 
         for d in range(dispatches):
             accum, segs = _sharded_pass(
@@ -203,7 +203,7 @@ class MeshRenderer:
                 normalize_pass=self.normalize_pass,
                 n_pad=n_pad,
             )
-            total_segs = total_segs + segs
+            total_segs = total_segs + segs.astype(jnp.float32)
             if progress is not None and ((d % update_every) == update_every - 1 or d == dispatches - 1):
                 progress((d + 1) * n_spp, self._finalize(accum, (d + 1) * n_spp, w, h, n))
 

@@ -386,7 +386,10 @@ class Renderer:
 
         passes = max(1, cfg.samples_per_px)
         update_every = max(1, passes // 10)
-        total_segs = jnp.zeros((), jnp.int32)
+        # f32 accumulator: per-pass counts are i32 (fits easily) but long
+        # renders overflow 2^31 total segments; f32 rounding error here is
+        # <= 16 segments per ~263M-segment pass — irrelevant for Mrays/s
+        total_segs = jnp.zeros((), jnp.float32)
 
         # --- checkpoint / exact resume (SURVEY.md §5) ---
         from .utils import checkpoint as ckpt_mod
@@ -454,7 +457,7 @@ class Renderer:
                     chunk=chunk,
                     normalize_pass=self.normalize_pass,
                 )
-                total_segs = total_segs + segs
+                total_segs = total_segs + segs.astype(jnp.float32)
             completed = p + 1
             if (p % update_every) == update_every - 1 or p == passes - 1:
                 nonfinite = int(metrics_mod.nonfinite_count(accum))
