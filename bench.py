@@ -21,6 +21,16 @@ import time
 
 
 def main() -> int:
+    import jax
+
+    # persistent compile cache: spares repeat bench runs the multi-minute
+    # warmup when the backend supports executable serialization
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import path_trace_golang_tpu as pt
     from path_trace_golang_tpu.scene import builtin, io as scene_io
 
