@@ -153,3 +153,43 @@ def test_cli_headless(tmp_path):
     stats = json.loads(res.stdout.strip().splitlines()[-1])
     assert stats["width"] == 40 and stats["passes"] == 1
     assert out.exists() and out.stat().st_size > 100
+
+
+def test_faithful_fog_mode():
+    """faithful_fog=True marches fog per sample inside the trace
+    (PHYSICS.md D6 opt-out); both modes produce finite fog light with the
+    same expectation."""
+    sc = full_feature_scene()
+    cfg = pt.RenderConfig(width=32, height=24, samples_per_px=2, max_depth=3)
+    fast = pt.Renderer(contract="gpu", seed=4, normalize_pass=True, faithful_fog=False).render(sc, cfg)
+    faith = pt.Renderer(contract="gpu", seed=4, normalize_pass=True, faithful_fog=True).render(sc, cfg)
+    a, b = fast.astype(float), faith.astype(float)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # same expectation, different fog sample counts -> close but not equal
+    assert abs(a.mean() - b.mean()) < 6.0
+    assert not np.array_equal(fast, faith)
+
+
+def test_gpu_to_cpu_contract_fallback(monkeypatch):
+    """Renderer.render falls back to the cpu contract when the gpu-contract
+    render raises (renderer.go:250-263 analog)."""
+    sc = lambert_floor_scene()
+    cfg = pt.RenderConfig(width=24, height=16, samples_per_px=1, max_depth=3)
+    r = pt.Renderer()
+    real = r._render
+    calls = []
+
+    def flaky(sc_, cfg_, contract, progress, cancel):
+        calls.append(contract)
+        if contract == pt.BACKEND_GPU:
+            raise RuntimeError("synthetic device failure")
+        return real(sc_, cfg_, contract, progress, cancel)
+
+    monkeypatch.setattr(r, "_render", flaky)
+    pt.set_backend(pt.BACKEND_GPU)
+    try:
+        img = r.render(sc, cfg)
+    finally:
+        pt.set_backend(pt.BACKEND_CPU)
+    assert calls == [pt.BACKEND_GPU, pt.BACKEND_CPU]
+    assert img.shape == (16, 24, 3)
