@@ -21,6 +21,9 @@ import time
 
 
 def main() -> int:
+    # a gpu-contract regression must fail the bench, not silently demote
+    # to the cpu contract (render.py fallback)
+    os.environ.setdefault("PATHTRACER_NO_FALLBACK", "1")
     import jax
 
     # persistent compile cache: spares repeat bench runs the multi-minute

@@ -31,7 +31,7 @@ from .ops import fog as fog_ops
 from .ops import geometry, optics, sampling
 from .ops import lights as lights_ops
 from .ops.geometry import BIG_T, Hit, intersect_world
-from .ops.rng import LaneRng
+from .ops.rng import LaneRng, seed_lanes
 from .ops.sky import background_color
 from .ops.vec import LANE, V3
 from .soa import (
@@ -74,6 +74,7 @@ class TraceConfig:
     has_rough_metal: bool = True
     has_dielectric: bool = True
     rr_threshold: int = 3  # gpu.go:1649 / renderer.go:375
+    regen: bool = True  # merged sample+bounce loop (pass_regen_gpu)
 
 
 def trace_config_for_scene(
@@ -105,6 +106,13 @@ def trace_config_for_scene(
         and sc_pack.n_lights > 0
         and contract == "gpu"
     )
+    import os
+
+    regen = (
+        contract == "gpu"
+        and not (bool(fogm) and bool(faithful_fog))
+        and os.environ.get("PATHTRACER_NO_REGEN", "") not in ("1", "true", "on")
+    )
     return TraceConfig(
         max_depth=max_depth,
         contract=contract,
@@ -113,6 +121,7 @@ def trace_config_for_scene(
         enable_nee=(contract == "gpu"),
         has_rough_metal=has_rough_metal,
         has_dielectric=has_dielectric,
+        regen=regen,
     )
 
 
@@ -434,111 +443,234 @@ def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
     return lax.while_loop(cond, body, carry)
 
 
-# ---------------------------------------------------------------------------
-# Deep-depth driver: phased tracing with straggler compaction
-# ---------------------------------------------------------------------------
+def regen_enabled(cfg: TraceConfig) -> bool:
+    """Whether the merged sample+bounce regeneration loop drives GPU-contract
+    passes.  Faithful in-trace fog marches once per *sample* (gpu.go:1311)
+    which regeneration would have to re-run masked for all lanes — that
+    mode keeps the classic per-sample loop.  ``PATHTRACER_NO_REGEN=1``
+    (read at TraceConfig construction — it is part of the jit key) forces
+    the classic loop for A/B comparisons."""
+    return (
+        cfg.regen
+        and cfg.contract == "gpu"
+        and not (cfg.enable_fog_march and cfg.fog_in_trace)
+    )
 
-DEEP_DEPTH_THRESHOLD = 24
-DEEP_PHASE = 12
 
+def pass_regen_gpu(
+    pack: ScenePack,
+    px,
+    py,
+    state0,
+    *,
+    cfg: TraceConfig,
+    width: int,
+    height: int,
+    n_strata: int,
+    samples: int,
+    has_aperture: bool,
+    frame_seed=None,
+    n_passes: int = 1,
+    col_init: V3 | None = None,
+    active=None,
+):
+    """GPU-contract progressive pass with per-lane path regeneration.
 
-def _trace_gpu_deep(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, active=None):
-    """GPU contract for deep bounce budgets (the reference's final preset
-    runs depth 80-160 with russian roulette only in the last 3 bounces).
+    Merges the shader main()'s stratified-sample loop (gpu.go:1683-1730)
+    and the iterative rayColor bounce loop (gpu.go:1300-1671) into ONE
+    while loop: the moment a lane's path terminates it draws its next
+    stratified sample's camera ray and keeps bouncing, instead of idling
+    until the block's slowest path finishes.  Per-block iterations drop
+    from ``samples x E[max path length over the block's lanes]`` to
+    ``~E[max over lanes of the SUM of that lane's own path lengths]`` —
+    the sum of ``samples`` path lengths concentrates sharply (law of large
+    numbers), which removes the straggler collapse on deep bounce budgets
+    (the reference final preset, depth 80-160) with ZERO lane movement: no
+    sorts, no gathers, just one extra select per iteration.  Physics is
+    the same `_shade_gpu` / `intersect_world` / RR code; only the
+    iteration schedule (and therefore per-lane RNG consumption) differs,
+    which is statistically neutral for a counter-hash RNG.
 
-    A handful of straggler paths otherwise keeps every lane block's while
-    loop alive for the full budget (measured 100x wall-clock skew at depth
-    80).  This driver runs the bounce loop in phases of DEEP_PHASE bounces
-    and, between phases, stably partitions lanes alive-first so survivors
-    pack into a few leading blocks — the per-block early exit then
-    reclaims the dead ones.  Lane identity rides along and radiance/rng
-    are scattered back to the original order at the end; per-lane values
-    are unchanged by the permutation (all lane math is elementwise).
+    Per-lane loop state: ``s`` samples started, ``d`` bounce index of the
+    current path (russian roulette keys off ``max_depth - d`` per lane,
+    gpu.go:1648-1660), plus the usual ray/throughput/glass state.
+
+    ``n_passes > 1`` widens the regeneration window to several progressive
+    passes in ONE dispatch (``samples * n_passes`` paths per lane): the
+    idle tail — lanes waiting for the block's last path after exhausting
+    their own samples — is paid once per window instead of once per pass,
+    and it grows only ~sqrt(window) while useful work grows linearly.  At
+    each pass boundary the lane reseeds to ``seed_lanes(px, py,
+    frame_seed + pass_idx)``, the same per-pass counter seed the classic
+    driver uses (D1), so a window render is reproducible at pass
+    granularity.  Returns (col V3 = sum over all samples, state, segments).
     """
-    shape = orig.x.shape
-    radiance = V3.zeros(shape)
+    shape = px.shape
+    zero3 = V3.zeros(shape)
+    col = col_init if col_init is not None else zero3
+    sky_fog = (pack.fog[0] > 0) & (pack.fog[2] > _F(0.5))
 
-    if cfg.enable_fog_march and cfg.fog_in_trace:
-        fog_on = pack.fog[3] > _F(0.5)
-        fog_radiance, state = _fog_prepass(orig, dirv, state, pack)
-        gate = jnp.where(fog_on, _F(1.0), _F(0.0))
-        radiance = radiance + fog_radiance * gate
-        if active is not None:
-            radiance = V3.where(active, radiance, V3.zeros(shape))
+    inv_w = _F(1.0) / _F(width - 1 if width > 1 else 1)
+    inv_h = _F(1.0) / _F(height - 1 if height > 1 else 1)
+    pxf = px.astype(jnp.float32)
+    fy = _F(height - 1) - py.astype(jnp.float32)
+    inv_strata = _F(1.0 / n_strata)
 
-    alive0 = jnp.ones(shape, dtype=bool) if active is None else active
-    n = shape[0] * shape[1]
-    lane_id = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    # Mosaic workaround: splat (broadcast-constant) i32 inits make layout
+    # inference assign the while carry a replicated layout that the loop
+    # body's concrete values cannot relayout into ("Invalid relayout ...
+    # replicated in destination but not in source").  Deriving the zeros
+    # from a kernel input gives the carries a concrete layout from the
+    # start.  The detour through f32 is deliberate: integer x&0 / x*0 are
+    # constant-folded back into splats by MLIR's canonicalizer, but
+    # mulf(x, 0.0) is not foldable without fastmath (x could be NaN/inf —
+    # bitcast of an RNG state never is).
+    zero_i = (
+        lax.bitcast_convert_type(state0, jnp.int32).astype(jnp.float32)
+        * jnp.float32(0.0)
+    ).astype(jnp.int32)
+    total_samples = samples * n_passes
+    s0 = zero_i
+    if active is not None:
+        # padding lanes never start a sample
+        s0 = jnp.where(active, s0, jnp.int32(total_samples))
 
     carry = (
-        jnp.zeros((), dtype=jnp.int32),
-        orig,
-        dirv,
-        V3.full(shape, 1.0),
-        radiance,
-        alive0.astype(jnp.int32),
-        state,
-        jnp.full(shape, -1, dtype=jnp.int32),
-        jnp.zeros(shape, dtype=jnp.float32),
-        jnp.zeros((), dtype=jnp.int32),
+        s0,  # samples started
+        zero_i,  # d: bounce index of current path
+        zero_i,  # alive
+        V3.zeros(shape),  # orig
+        V3.zeros(shape),  # dir
+        V3.full(shape, 1.0),  # throughput
+        col,
+        state0,
+        zero_i - 1,  # glass obj
+        jnp.zeros(shape, jnp.float32),  # glass dist
+        jnp.zeros((), jnp.int32),  # segments
     )
 
-    import os
+    def cond(carry):
+        s, _d, alive_i = carry[0], carry[1], carry[2]
+        return jnp.max(alive_i + (jnp.int32(total_samples) - s)) > 0
 
-    use_pallas = False
-    if os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on"):
-        from .ops import pallas_trace
+    def body(carry):
+        s, d, alive_i, orig, dirv, throughput, col, st, glass_obj, glass_dist, segments = carry
 
-        use_pallas = pallas_trace.pallas_supported(shape, pack, cfg, None)
+        # ---- regenerate: dead lanes with samples left start the next one
+        regen = (alive_i == 0) & (s < total_samples)
+        if n_passes > 1:
+            pass_idx = s // samples
+            stratum = s - pass_idx * samples
+            # per-pass rng reset (D1): the first sample of pass p draws
+            # from seed_lanes(px, py, frame_seed + p), as the classic
+            # per-pass driver would
+            boundary = regen & (s > 0) & (stratum == 0)
+            reseed = seed_lanes(
+                px, py, jnp.asarray(frame_seed, jnp.uint32) + pass_idx.astype(jnp.uint32)
+            )
+            st = jnp.where(boundary, reseed, st)
+        else:
+            stratum = s
+        rng = LaneRng(st)
+        jx = rng.next()
+        jy = rng.next()
+        if n_strata > 1:
+            su = ((stratum % n_strata).astype(jnp.float32) + jx) * inv_strata
+            sv = ((stratum // n_strata).astype(jnp.float32) + jy) * inv_strata
+        else:
+            su, sv = jx, jy
+        u = (pxf + su) * inv_w
+        v = (fy + sv) * inv_h
+        from .ops.camera import camera_rays
 
-    def run_phase(carry, d_end):
-        if use_pallas:
-            from .ops import pallas_trace
+        cam_o, cam_d = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
+        orig = V3.where(regen, cam_o, orig)
+        dirv = V3.where(regen, cam_d, dirv)
+        throughput = V3.where(regen, V3.full(shape, 1.0), throughput)
+        d = jnp.where(regen, 0, d)
+        glass_obj = jnp.where(regen, -1, glass_obj)
+        glass_dist = jnp.where(regen, _F(0.0), glass_dist)
+        s = jnp.where(regen, s + 1, s)
+        alive = (alive_i > 0) | regen
 
-            return pallas_trace.gpu_phase_pallas(carry, pack, cfg, d_end)
-        return gpu_phase(carry, pack, cfg, d_end)
+        # ---- one bounce (identical to gpu_phase's body, per-lane depth)
+        segments = segments + jnp.sum(alive.astype(jnp.int32))
+        hit = intersect_world(orig, dirv, pack, _F(0.001), exclude_obj=glass_obj)
 
-    d = 0
-    while d < cfg.max_depth:
-        d_end = min(d + DEEP_PHASE, cfg.max_depth)
-        carry = run_phase(carry, d_end)
-        d = d_end
-        if d < cfg.max_depth:
-            (_d, o, dv, thr, rad, alive_i, st, gobj, gdist, segs) = carry
-            # stable alive-first partition via ONE multi-operand sort
-            # (TPU gathers are scalar-slow; the vectorized sort network
-            # moves all 14 lane arrays in a single pass)
-            key = (1 - alive_i).ravel()
-            flat = [
-                a.ravel()
-                for a in (
-                    o.x, o.y, o.z, dv.x, dv.y, dv.z,
-                    thr.x, thr.y, thr.z, rad.x, rad.y, rad.z,
-                    alive_i, st, gobj, gdist, lane_id,
-                )
-            ]
-            sorted_ops = jax.lax.sort([key] + flat, num_keys=1, is_stable=True)
-            rs = lambda a: a.reshape(shape)  # noqa: E731
-            (_k, ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-             alive_i, st, gobj, gdist, lane_id) = [rs(a) for a in sorted_ops]
-            o = V3(ox, oy, oz)
-            dv = V3(dx, dy, dz)
-            thr = V3(tx, ty, tz)
-            rad = V3(rx, ry, rz)
-            carry = (jnp.int32(d), o, dv, thr, rad, alive_i, st, gobj, gdist, segs)
+        unit_d = dirv.normalize()
+        bg = background_color(unit_d, pack.sky)
+        bg_fogged = fog_ops.apply_legacy_fog(bg, 50.0, pack.fog)
+        bg = V3.where(sky_fog, bg_fogged, bg)
+        miss = alive & ~hit.hit
+        col = col + V3.where(miss, throughput * bg, zero3)
+        alive = alive & hit.hit
 
-    (_d, _o, _dv, _thr, rad, _alive, st, _go, _gd, segments) = carry
+        live_throughput = V3.where(alive, throughput, zero3)
+        (
+            new_dir,
+            attenuation,
+            col,
+            scattered_ok,
+            enter_glass,
+            exit_glass,
+            travel,
+            absorption,
+            abs_scale,
+            tint,
+        ) = _shade_gpu(hit, dirv, live_throughput, col, rng, pack, cfg)
 
-    # restore the original lane order: sort everything by lane_id
-    restored = jax.lax.sort(
-        [lane_id.ravel(), rad.x.ravel(), rad.y.ravel(), rad.z.ravel(), st.ravel()],
-        num_keys=1,
-        is_stable=False,
-    )
-    rs = lambda a: a.reshape(shape)  # noqa: E731
-    radiance = V3(rs(restored[1]), rs(restored[2]), rs(restored[3]))
-    state = rs(restored[4])
-    return radiance, state, segments
+        if cfg.has_dielectric:
+            eff_abs = absorption * abs_scale
+            absorb_exit = (-(eff_abs * glass_dist)).exp()
+            has_tint = tint.any_positive()
+            one3 = V3.full(shape, 1.0)
+            tint_mul = V3.where(has_tint, tint, one3)
+            exit_mul = (absorb_exit * _F(0.9) + _F(0.1)) * tint_mul
+            exit_apply = alive & exit_glass & (glass_dist > 0)
+            attenuation = V3.where(exit_apply, attenuation * exit_mul, attenuation)
+
+            enter_ok = alive & enter_glass
+            exit_ok = alive & exit_glass
+            glass_obj = jnp.where(enter_ok, hit.obj_idx, jnp.where(exit_ok, -1, glass_obj))
+            glass_dist = jnp.where(
+                enter_ok & (travel > 0), travel, jnp.where(exit_ok, _F(0.0), glass_dist)
+            )
+
+        # russian roulette on per-lane remaining depth (gpu.go:1648-1660)
+        remaining = jnp.int32(cfg.max_depth) - d
+        u_rr = rng.next()
+        max_comp = attenuation.max_comp()
+        rr_active = remaining <= cfg.rr_threshold
+        rr_prob = jnp.minimum(max_comp, _F(0.95))
+        rr_kill = rr_active & ((max_comp < _F(1e-6)) | (u_rr > rr_prob))
+        rr_scale = jnp.where(
+            rr_active & ~rr_kill, _F(1.0) / jnp.maximum(rr_prob, _F(1e-6)), _F(1.0)
+        )
+        attenuation = attenuation * rr_scale
+
+        d = jnp.where(alive, d + 1, d)
+        alive = alive & scattered_ok & ~rr_kill & (d < cfg.max_depth)
+        throughput = V3.where(alive, throughput * attenuation, throughput)
+        new_orig = hit.p + hit.normal * _F(0.001)
+        orig = V3.where(alive, new_orig, orig)
+        dirv = V3.where(alive, new_dir, dirv)
+        return (
+            s,
+            d,
+            alive.astype(jnp.int32),
+            orig,
+            dirv,
+            throughput,
+            col,
+            rng.state,
+            glass_obj,
+            glass_dist,
+            segments,
+        )
+
+    carry = lax.while_loop(cond, body, carry)
+    (_s, _d, _al, _o, _dv, _thr, col, state, _go, _gd, segments) = carry
+    return col, state, segments
 
 
 # ---------------------------------------------------------------------------
@@ -753,17 +885,6 @@ def trace_grid(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
     """
     import os
 
-    if (
-        cfg.contract == "gpu"
-        and cfg.max_depth > DEEP_DEPTH_THRESHOLD
-        and os.environ.get("PATHTRACER_DEEP_COMPACTION", "") in ("1", "true", "on")
-    ):
-        # Experimental: phased tracing + alive-first lane sort.  Bit-exact
-        # with the plain trace (tested), but on v5e the per-phase
-        # multi-operand sort costs about as much as the straggler compute
-        # it reclaims at chunk scale (ROADMAP.md) — default off; the
-        # depth-aware 8-row blocks below are the shipped mitigation.
-        return _trace_gpu_deep(orig, dirv, state, pack, cfg, active)
     if os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on"):
         from .ops import pallas_trace
 
@@ -806,5 +927,6 @@ def trace(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
     radiance = jnp.stack(
         [rad.x.reshape(n_pad), rad.y.reshape(n_pad), rad.z.reshape(n_pad)], axis=-1
     )[:n]
-    # correct the segment count for padded lanes (they trace garbage rays)
+    # padded lanes start dead via the `active` mask, so the segment count
+    # needs no correction here
     return radiance, st.reshape(n_pad)[:n], segments

@@ -2,38 +2,68 @@
 
 The reference supports only sphere / plane / box primitives (SURVEY.md
 top-fact 4); BASELINE.json's north star asks for triangle meshes behind a
-BVH.  Design for SPMD lanes:
+BVH.  Design for SPMD lanes — two traversals over the same DFS+escape
+layout, chosen by mesh size:
 
 * **Host build** — a median-split BVH over triangle centroids (NumPy),
-  flattened in DFS order with *escape links*: topology (leaf ranges, miss
-  indices) is static Python metadata, node bounds are a traced f32[B,6]
-  table.
-* **Lockstep traversal** — lanes cannot take divergent tree paths without
-  per-step gathers (slow on TPU), so traversal walks the DFS order with a
-  per-lane monotone ``skip`` cursor: a lane that misses an internal
-  node's bbox jumps its cursor to the node's escape index and ignores the
-  whole subtree; leaf triangle tests (Möller–Trumbore on traced scalar
-  vertices) run masked.  Every step is fused element-wise VPU math with
-  zero gathers — the BVH prunes the expensive triangle tests while bbox
-  tests stay O(nodes), the right trade at TPU lane widths for meshes up
-  to a few thousand triangles.
+  flattened in DFS order with *escape links*.  A DFS layout gives the
+  invariant ``miss[i] == i + subtree_size(i)`` — the node after a missed
+  subtree — which both traversals rely on.
+* **Static unrolled walk** (``traverse_triangles``, small meshes) —
+  topology is compile-time Python metadata; every node's bbox test and
+  every leaf's Möller–Trumbore unroll into straight-line VPU code with
+  traced-scalar vertices: zero gathers, maximal fusion, but instruction
+  count grows with node count (the round-1 128-triangle Pallas cliff).
+* **Dynamic packet walk** (``traverse_triangles_dynamic``, large meshes)
+  — topology lives in i32 tables (SMEM inside Pallas kernels); a
+  ``lax.while_loop`` drives a **global scalar cursor with per-lane
+  next-node cursors**: each step processes the minimum wanted node over
+  the packet, lanes that miss a subtree jump their cursor past it, and
+  the global cursor jumps to ``min(per-lane cursors)`` — whole subtrees
+  that no lane wants are never visited, making node visits sublinear for
+  coherent packets (camera/shadow rays) instead of the unrolled walk's
+  O(nodes).  All per-node reads are scalar (node index is the scalar
+  cursor), so there are still ZERO per-lane gathers.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from .vec import V3
 
-__all__ = ["BvhTopology", "build_bvh", "traverse_triangles", "OBJ_TRIANGLE", "LEAF_SIZE"]
+__all__ = [
+    "BvhTopology",
+    "build_bvh",
+    "traverse_triangles",
+    "traverse_triangles_dynamic",
+    "occluded_triangles_dynamic",
+    "use_dynamic_walk",
+    "OBJ_TRIANGLE",
+    "LEAF_SIZE",
+    "STATIC_TRI_MAX",
+]
 
 OBJ_TRIANGLE = 3  # extends the reference's OBJ_* codes (gpu.go:435-437)
 LEAF_SIZE = 4
+# Above this triangle count the unrolled walk's instruction budget (and
+# Pallas compile time) stops paying for itself; the dynamic packet walk
+# takes over.  PATHTRACER_BVH_DYNAMIC=1 forces the dynamic walk (tests).
+STATIC_TRI_MAX = 128
 _F = jnp.float32
+
+
+def use_dynamic_walk(n_triangles: int) -> bool:
+    if os.environ.get("PATHTRACER_BVH_DYNAMIC", "") in ("1", "true", "on"):
+        return True
+    return n_triangles > STATIC_TRI_MAX
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,3 +256,298 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
         else:
             # internal node: lanes missing the bbox skip the whole subtree
             skip = jnp.where(active & ~box_hit, jnp.int32(topo.miss[n]), skip)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic packet traversal (large meshes; Pallas-eligible via SMEM tables)
+# ---------------------------------------------------------------------------
+
+# carry layout for the winner chain (flat tuple of lane grids)
+_STATE_KEYS = (
+    "best_t", "best_m", "best_type", "best_mat", "best_mtyp",
+    "b_rough", "b_ior", "b_smooth", "b_refl", "b_abss",
+)
+_STATE_V3 = ("b_albedo", "b_emit", "b_absorb", "b_tint")
+
+
+def _state_to_tuple(state):
+    flat = [state[k] for k in _STATE_KEYS]
+    for k in _STATE_V3:
+        v = state[k]
+        flat += [v.x, v.y, v.z]
+    flat += [state["nx"], state["ny"], state["nz"]]
+    return tuple(flat)
+
+
+def _tuple_to_state(t):
+    state = {k: t[i] for i, k in enumerate(_STATE_KEYS)}
+    i = len(_STATE_KEYS)
+    for k in _STATE_V3:
+        state[k] = V3(t[i], t[i + 1], t[i + 2])
+        i += 3
+    state["nx"], state["ny"], state["nz"] = t[i], t[i + 1], t[i + 2]
+    return state
+
+
+def _lane_zero_i32(ref):
+    """Concrete-layout i32 zeros derived from a lane grid (the Mosaic
+    splat-carry workaround — see integrator.pass_regen_gpu)."""
+    return (ref * _F(0.0)).astype(jnp.int32)
+
+
+def _desplat_state(state, o: V3):
+    """Route every winner-chain array through an unfoldable add so no
+    while-carry init is a splat constant (Mosaic replicated-layout bug;
+    entries like the triangle normal or the lite-mode material indices
+    reach the walk untouched by the object sweep)."""
+    zero_f = o.x * _F(0.0)
+
+    def fix(a):
+        if isinstance(a, V3):
+            return V3(fix(a.x), fix(a.y), fix(a.z))
+        if a.dtype == jnp.float32:
+            return a + zero_f
+        return (a.astype(jnp.float32) + zero_f).astype(a.dtype)
+
+    return {k: fix(v) for k, v in state.items()}
+
+
+def traverse_triangles_dynamic(
+    o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
+):
+    """Packet BVH walk over topology TABLES (pack.bvh_nodes / tri /
+    tri_mat / tri_obj), updating the intersect_world winner chain dict
+    in-place-style (returns the new dict plus the node-visit count).
+
+    Per iteration: one scalar node fetch, one slab test for the packet,
+    LEAF_SIZE masked Möller–Trumbore tests when the node is a leaf, and a
+    global jump to the packet's minimum next-node cursor.  Visits are
+    sublinear in nodes whenever the packet's rays agree on missing
+    subtrees.  Returns (state, visits_i32_scalar).
+    """
+    nodes = pack.bvh_nodes
+    bounds = pack.bvh_bounds
+    tri = pack.tri
+    tri_mat = pack.tri_mat
+    tri_obj = pack.tri_obj
+    mat = pack.mat
+    n_nodes = pack.bvh.n_nodes if pack.bvh is not None else 0
+    if n_nodes == 0:
+        return state, jnp.zeros((), jnp.int32)
+
+    inv_dx = _F(1.0) / d.x
+    inv_dy = _F(1.0) / d.y
+    inv_dz = _F(1.0) / d.z
+
+    cursor0 = _lane_zero_i32(o.x)
+    carry0 = (
+        jnp.zeros((), jnp.int32),  # global cursor
+        jnp.zeros((), jnp.int32),  # visit count
+        cursor0,  # per-lane next-node cursor
+    ) + _state_to_tuple(_desplat_state(state, o))
+
+    def cond(carry):
+        return carry[0] < n_nodes
+
+    def body(carry):
+        n, visits, c = carry[0], carry[1], carry[2]
+        st = _tuple_to_state(carry[3:])
+        miss_n = nodes[n, 0]
+        first = nodes[n, 1]
+        count = nodes[n, 2]
+
+        active = c == n
+        t1x = (bounds[n, 0] - o.x) * inv_dx
+        t2x = (bounds[n, 3] - o.x) * inv_dx
+        t1y = (bounds[n, 1] - o.y) * inv_dy
+        t2y = (bounds[n, 4] - o.y) * inv_dy
+        t1z = (bounds[n, 2] - o.z) * inv_dz
+        t2z = (bounds[n, 5] - o.z) * inv_dz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 < st["best_t"])
+
+        # leaf: LEAF_SIZE masked Möller–Trumbore tests (count <= LEAF_SIZE)
+        is_leaf = count > 0
+        for k in range(LEAF_SIZE):
+            in_leaf = is_leaf & (k < count)
+            tri_i = jnp.where(in_leaf, first + k, 0)
+            v0x, v0y, v0z = tri[tri_i, 0], tri[tri_i, 1], tri[tri_i, 2]
+            e1x, e1y, e1z = tri[tri_i, 3], tri[tri_i, 4], tri[tri_i, 5]
+            e2x, e2y, e2z = tri[tri_i, 6], tri[tri_i, 7], tri[tri_i, 8]
+
+            px = d.y * e2z - d.z * e2y
+            py = d.z * e2x - d.x * e2z
+            pz = d.x * e2y - d.y * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > _F(1e-9)
+            inv_det = _F(1.0) / jnp.where(ok, det, _F(1.0))
+            tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                ok
+                & box_hit
+                & in_leaf
+                & (u >= 0)
+                & (u <= 1)
+                & (v >= 0)
+                & (u + v <= 1)
+                & (t >= t_min)
+            )
+            if t_max is not None:
+                ok = ok & (t <= t_max)
+            obj_idx = tri_obj[tri_i]
+            if exclude_obj is not None:
+                ok = ok & (exclude_obj != obj_idx)
+            better = ok & (t < st["best_t"])
+
+            gnx = e1y * e2z - e1z * e2y
+            gny = e1z * e2x - e1x * e2z
+            gnz = e1x * e2y - e1y * e2x
+            glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
+
+            mi = tri_mat[tri_i]
+            sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
+            st["best_t"] = sel(t, st["best_t"])
+            st["best_type"] = sel(OBJ_TRIANGLE, st["best_type"])
+            st["best_mtyp"] = sel(pack.mat[mi, 0].astype(jnp.int32), st["best_mtyp"])
+            st["b_emit"] = V3(
+                sel(mat[mi, 8], st["b_emit"].x),
+                sel(mat[mi, 9], st["b_emit"].y),
+                sel(mat[mi, 10], st["b_emit"].z),
+            )
+            st["nx"] = sel(gnx / glen, st["nx"])
+            st["ny"] = sel(gny / glen, st["ny"])
+            st["nz"] = sel(gnz / glen, st["nz"])
+            if not lite:
+                st["best_m"] = sel(obj_idx, st["best_m"])
+                st["best_mat"] = sel(mi, st["best_mat"])
+                st["b_rough"] = sel(mat[mi, 1], st["b_rough"])
+                st["b_ior"] = sel(mat[mi, 2], st["b_ior"])
+                st["b_smooth"] = sel(mat[mi, 3], st["b_smooth"])
+                st["b_refl"] = sel(mat[mi, 7], st["b_refl"])
+                st["b_abss"] = sel(mat[mi, 15], st["b_abss"])
+                st["b_albedo"] = V3(
+                    sel(mat[mi, 4], st["b_albedo"].x),
+                    sel(mat[mi, 5], st["b_albedo"].y),
+                    sel(mat[mi, 6], st["b_albedo"].z),
+                )
+                st["b_absorb"] = V3(
+                    sel(mat[mi, 12], st["b_absorb"].x),
+                    sel(mat[mi, 13], st["b_absorb"].y),
+                    sel(mat[mi, 14], st["b_absorb"].z),
+                )
+                st["b_tint"] = V3(
+                    sel(mat[mi, 16], st["b_tint"].x),
+                    sel(mat[mi, 17], st["b_tint"].y),
+                    sel(mat[mi, 18], st["b_tint"].z),
+                )
+
+        # cursor update: hit internal -> descend (n+1); anything else ->
+        # escape (miss_n; for a leaf miss_n == n+1 by the DFS invariant)
+        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
+        # global jump: the packet's next wanted node (done lanes sit at B)
+        n_next = jnp.min(c)
+        return (n_next, visits + 1, c) + _state_to_tuple(st)
+
+    out = lax.while_loop(cond, body, carry0)
+    return _tuple_to_state(out[3:]), out[1]
+
+
+def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
+    """Any-hit packet walk for shadow rays: same cursor scheme, boolean
+    result only; lanes already blocked want no more nodes."""
+    nodes = pack.bvh_nodes
+    bounds = pack.bvh_bounds
+    tri = pack.tri
+    n_nodes = pack.bvh.n_nodes if pack.bvh is not None else 0
+    if n_nodes == 0:
+        return blocked
+
+    inv_dx = _F(1.0) / d.x
+    inv_dy = _F(1.0) / d.y
+    inv_dz = _F(1.0) / d.z
+
+    cursor0 = _lane_zero_i32(o.x)
+    # blocked rides the carry as i32: Mosaic cannot legalize i1 vectors in
+    # scf.while carries; the +cursor0 keeps the init un-splat
+    carry0 = (jnp.zeros((), jnp.int32), cursor0, blocked.astype(jnp.int32) + cursor0)
+
+    def cond(carry):
+        return carry[0] < n_nodes
+
+    def body(carry):
+        n, c, blocked_i = carry
+        blocked = blocked_i > 0
+        miss_n = nodes[n, 0]
+        first = nodes[n, 1]
+        count = nodes[n, 2]
+
+        active = (c == n) & ~blocked
+        t1x = (bounds[n, 0] - o.x) * inv_dx
+        t2x = (bounds[n, 3] - o.x) * inv_dx
+        t1y = (bounds[n, 1] - o.y) * inv_dy
+        t2y = (bounds[n, 4] - o.y) * inv_dy
+        t1z = (bounds[n, 2] - o.z) * inv_dz
+        t2z = (bounds[n, 5] - o.z) * inv_dz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 <= t_max)
+
+        is_leaf = count > 0
+        for k in range(LEAF_SIZE):
+            in_leaf = is_leaf & (k < count)
+            tri_i = jnp.where(in_leaf, first + k, 0)
+            v0x, v0y, v0z = tri[tri_i, 0], tri[tri_i, 1], tri[tri_i, 2]
+            e1x, e1y, e1z = tri[tri_i, 3], tri[tri_i, 4], tri[tri_i, 5]
+            e2x, e2y, e2z = tri[tri_i, 6], tri[tri_i, 7], tri[tri_i, 8]
+            px = d.y * e2z - d.z * e2y
+            py = d.z * e2x - d.x * e2z
+            pz = d.x * e2y - d.y * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > _F(1e-9)
+            inv_det = _F(1.0) / jnp.where(ok, det, _F(1.0))
+            tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (
+                ok
+                & box_hit
+                & in_leaf
+                & (u >= 0)
+                & (u <= 1)
+                & (v >= 0)
+                & (u + v <= 1)
+                & (t >= t_min)
+                & (t <= t_max)
+            )
+            blocked = blocked | hit
+
+        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
+        c = jnp.where(blocked, jnp.int32(n_nodes), c)  # blocked lanes are done
+        n_next = jnp.min(c)
+        return (n_next, c, blocked.astype(jnp.int32))
+
+    out = lax.while_loop(cond, body, carry0)
+    return out[2] > 0

@@ -203,6 +203,12 @@ def intersect_world(
             b_absorb=b_absorb, b_tint=b_tint, nx=tri_nx, ny=tri_ny, nz=tri_nz,
         )
 
+        if bvh_mod.use_dynamic_walk(pack.n_triangles):
+            state, _visits = bvh_mod.traverse_triangles_dynamic(
+                o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
+            )
+            return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
+
         def update(tri_obj_idx, orig_tri, t, ok, nrm):
             if t_max is not None:
                 ok = ok & (t <= t_max)
@@ -231,16 +237,29 @@ def intersect_world(
         bvh_mod.traverse_triangles(
             o, d, pack, t_min, lambda: state["best_t"], update, exclude_obj
         )
-        best_t = state["best_t"]
-        best_m = state["best_m"]
-        best_type = state["best_type"]
-        best_mat = state["best_mat"]
-        best_mtyp = state["best_mtyp"]
-        b_rough, b_ior, b_smooth = state["b_rough"], state["b_ior"], state["b_smooth"]
-        b_refl, b_abss = state["b_refl"], state["b_abss"]
-        b_albedo, b_emit = state["b_albedo"], state["b_emit"]
-        b_absorb, b_tint = state["b_absorb"], state["b_tint"]
-        tri_nx, tri_ny, tri_nz = state["nx"], state["ny"], state["nz"]
+        return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
+
+    state = dict(
+        best_t=best_t, best_m=best_m, best_type=best_type, best_mat=best_mat,
+        best_mtyp=best_mtyp, b_rough=b_rough, b_ior=b_ior, b_smooth=b_smooth,
+        b_refl=b_refl, b_abss=b_abss, b_albedo=b_albedo, b_emit=b_emit,
+        b_absorb=b_absorb, b_tint=b_tint, nx=tri_nx, ny=tri_ny, nz=tri_nz,
+    )
+    return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
+
+
+def _finish_hit(o: V3, d: V3, pack: ScenePack, state, lite, b_c=None, b_s=None) -> Hit:
+    """Assemble the Hit record from the winner chain: per-type outward
+    normal, setFaceNormal flip (gpu.go:484-487)."""
+    shape = o.x.shape
+    fz = jnp.zeros(shape, jnp.float32)
+    iz = jnp.zeros(shape, jnp.int32)
+    best_t = state["best_t"]
+    best_type = state["best_type"]
+    if b_c is None:
+        b_c = state["b_c"]
+    if b_s is None:
+        b_s = state["b_s"]
 
     hit = best_t < BIG_T
     t_safe = jnp.where(hit, best_t, _F(0))
@@ -270,9 +289,9 @@ def intersect_world(
         from .bvh import OBJ_TRIANGLE
 
         is_tri = best_type == OBJ_TRIANGLE
-        nx = jnp.where(is_tri, tri_nx, nx)
-        ny = jnp.where(is_tri, tri_ny, ny)
-        nz = jnp.where(is_tri, tri_nz, nz)
+        nx = jnp.where(is_tri, state["nx"], nx)
+        ny = jnp.where(is_tri, state["ny"], ny)
+        nz = jnp.where(is_tri, state["nz"], nz)
 
     # setFaceNormal (gpu.go:484-487)
     front_face = (d.x * nx + d.y * ny + d.z * nz) < 0
@@ -285,21 +304,21 @@ def intersect_world(
         p=p,
         normal=normal,
         front_face=front_face,
-        obj_idx=jnp.where(hit, best_m, iz),
+        obj_idx=jnp.where(hit, state["best_m"], iz),
         obj_type=jnp.where(hit, best_type, iz),
         obj_pos=b_c,
         obj_size=b_s,
-        mat_idx=jnp.where(hit, best_mat, iz),
-        mtyp=jnp.where(hit, best_mtyp, iz),
-        rough=b_rough,
-        ior=b_ior,
-        smoothness=b_smooth,
-        reflectivity=b_refl,
-        abs_scale=b_abss,
-        albedo=b_albedo,
-        emit=b_emit,
-        absorption=b_absorb,
-        tint=b_tint,
+        mat_idx=jnp.where(hit, state["best_mat"], iz),
+        mtyp=jnp.where(hit, state["best_mtyp"], iz),
+        rough=state["b_rough"],
+        ior=state["b_ior"],
+        smoothness=state["b_smooth"],
+        reflectivity=state["b_refl"],
+        abs_scale=state["b_abss"],
+        albedo=state["b_albedo"],
+        emit=state["b_emit"],
+        absorption=state["b_absorb"],
+        tint=state["b_tint"],
     )
 
 
@@ -310,6 +329,11 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
         blocked = blocked | (ok & (t <= t_max))
     if pack.n_triangles:
         from . import bvh as bvh_mod
+
+        if bvh_mod.use_dynamic_walk(pack.n_triangles):
+            return bvh_mod.occluded_triangles_dynamic(
+                o, d, pack, _F(t_min), t_max, blocked
+            )
 
         state = dict(blocked=blocked)
 

@@ -6,10 +6,15 @@ Re-design of the shader's light sampling stack (gpu.go:875-1070):
 firefly clamp) and ``estimateDirectLight`` (sample all lights when <= 8,
 else a random contiguous subset of 8 with scale compensation).
 
-Light indices are static scene topology, so the <=8-light fast path
-unrolls with each light's center/radius/emit as traced scalars — zero
-runtime gathers; each slot costs one fused any-hit sweep.  The >8 subset
-path keeps dynamic indices (per-lane random window) and pays gathers.
+Light indices are static scene topology, so every light's center/radius/
+emit are traced scalars and the whole stack unrolls with **zero runtime
+gathers** — including the >8-light case: the reference's per-pixel random
+contiguous window of 8 becomes a per-lane membership MASK over the static
+unroll (each light slot computes for all lanes, lanes outside the window
+contribute zero), which is the SPMD-native form of the same estimator and
+keeps the code Pallas-eligible at any light count.  Cost is one fused
+any-hit sweep per *light* rather than per *sampled* light; the window
+only bounds variance, not work (documented deviation D11, PHYSICS.md).
 All lane math is component-wise on [rows, 128] grids.
 """
 
@@ -84,51 +89,18 @@ def _direct_single_static(light_obj: int, p: V3, n: V3, albedo: V3, pack: SceneP
     return V3.where(valid, contrib, zero)
 
 
-def _direct_single_dynamic(light_obj, p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng) -> V3:
-    """Dynamic-index slot for the >8-light subset path (per-lane gathers)."""
-    shape = p.x.shape
-    otype = pack.obj[light_obj, 0].astype(jnp.int32)
-    cx = pack.obj[light_obj, 4]
-    cy = pack.obj[light_obj, 5]
-    cz = pack.obj[light_obj, 6]
-    radius = pack.obj[light_obj, 8]
-    mi = pack.obj[light_obj, 1].astype(jnp.int32)
-    ex = pack.mat[mi, 8]
-    ey = pack.mat[mi, 9]
-    ez = pack.mat[mi, 10]
-
-    light_n = sampling.sphere_surface(rng.next(), rng.next())
-    light_pos = V3(cx + radius * light_n.x, cy + radius * light_n.y, cz + radius * light_n.z)
-    area = _F(4.0) * PI * radius * radius
-    inv_pdf = jnp.maximum(area, _F(1e-20))
-
-    to_light = light_pos - p
-    dist_sq = to_light.dot(to_light)
-    valid = (otype == OBJ_SPHERE) & (dist_sq > _F(1e-6))
-    dist = jnp.sqrt(jnp.maximum(dist_sq, _F(1e-20)))
-    wi = to_light * (_F(1.0) / dist)
-
-    shadow_orig = p + n * _F(0.001)
-    blocked = geometry.occluded(shadow_orig, wi, pack, _F(0.001), dist - _F(0.002))
-    valid = valid & ~blocked
-
-    cos_surf = jnp.maximum(_F(0), n.dot(wi))
-    cos_light = jnp.maximum(_F(0), -(light_n.dot(wi)))
-    valid = valid & (cos_surf > _F(0)) & (cos_light > _F(0))
-
-    inv_dist_sq = _F(1.0) / jnp.maximum(_F(1e-6), dist_sq)
-    w = cos_surf * cos_light * inv_dist_sq * jnp.minimum(inv_pdf, _F(1e6))
-    contrib = albedo * V3(ex, ey, ez) * (w * INV_PI)
-    contrib = luminance_clamp(contrib)
-    return V3.where(valid, contrib, V3.zeros(shape))
-
-
 def estimate_direct_light(p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng) -> V3:
     """estimateDirectLight (gpu.go:1004-1070): NEE over all lights.
 
     Samples every light when there are <= 8 (static unroll), otherwise a
     per-lane random contiguous window of 8 (scaled by count/8); the sum is
-    finally multiplied by 1/light_count, matching the reference.
+    finally multiplied by 1/light_count, matching the reference estimator.
+
+    The >8 window is realized as a MEMBERSHIP MASK over the same static
+    unroll: every light slot computes for all lanes with traced-scalar
+    light constants (zero gathers, Pallas-eligible at any light count),
+    and a lane keeps slot ``i`` iff ``(i - start) mod count < 8`` — the
+    identical contiguous-window estimator, SPMD-style (PHYSICS.md D11).
     """
     count = pack.n_lights
     if count == 0:
@@ -136,12 +108,13 @@ def estimate_direct_light(p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRn
 
     total = V3.zeros(p.x.shape)
     if count > MAX_LIGHTS_TO_SAMPLE:
-        # random contiguous subset (gpu.go:1028-1047)
+        # random contiguous subset (gpu.go:1028-1047) as a per-lane mask
         start = (rng.next() * _F(count)).astype(jnp.int32) % count
-        for j in range(MAX_LIGHTS_TO_SAMPLE):
-            i = (start + j) % count
-            light_obj = pack.light_idx[i]
-            total = total + _direct_single_dynamic(light_obj, p, n, albedo, pack, rng)
+        zero3 = V3.zeros(p.x.shape)
+        for i in range(count):
+            member = ((jnp.int32(i) - start) % count) < MAX_LIGHTS_TO_SAMPLE
+            contrib = _direct_single_static(pack.light_objs[i], p, n, albedo, pack, rng)
+            total = total + V3.where(member, contrib, zero3)
         total = total * _F(count / MAX_LIGHTS_TO_SAMPLE)
     else:
         for i in range(count):

@@ -14,8 +14,9 @@ The kernel body **reuses the exact integrator code** (`_trace_gpu` /
 `_trace_cpu` from integrator.py): Pallas kernels are traced jnp programs,
 so the physics lives in one place and this module only changes where the
 bytes live.  Requirements for eligibility (checked by `pallas_supported`):
-TPU backend, row count divisible by the block size, <= 8 lights (the >8
-subset path gathers dynamically).
+TPU backend, row count divisible by the block size, and the BVH tables
+fitting the SMEM budget (~2k triangles; any light count is fine — the
+>8-light window is a masked static unroll, ops/lights.py).
 """
 
 from __future__ import annotations
@@ -49,23 +50,23 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
         return False
     if shape[0] % _block_rows(shape, getattr(cfg, "max_depth", 12)) != 0:
         return False
-    if pack.n_lights > 8:  # dynamic light-subset path gathers per lane
-        return False
-    if pack.n_triangles > 128:  # SMEM + Mosaic instr budget for the BVH unroll
+    if pack.n_triangles > 2048:  # SMEM budget for the BVH tables (bvh.py)
         return False
     if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
         return False
     return True
 
 
-def _block_rows(shape, max_depth: int = 12) -> int:
-    # Deep-bounce configs (the reference's 'final' preset runs depth 80+
-    # with russian roulette only in the last 3 bounces) are dominated by
-    # straggler paths that keep a whole block's while-loop alive; smaller
-    # blocks let early exit reclaim them (measured 100x wall-clock skew at
-    # depth 80 with 32-row blocks).
+def _block_rows(shape, max_depth: int = 12, regen: bool = False) -> int:
+    # Without path regeneration, deep-bounce configs (the reference's
+    # 'final' preset runs depth 80+ with russian roulette only in the last
+    # 3 bounces) are dominated by straggler paths that keep a whole
+    # block's while-loop alive; smaller blocks let early exit reclaim
+    # them.  With regeneration (integrator.pass_regen_gpu) block
+    # iterations track the SUM of each lane's path lengths, which
+    # concentrates — full-size blocks stay optimal at any depth.
     r = shape[0]
-    br = min(BLOCK_ROWS if max_depth <= 24 else 8, r)
+    br = min(BLOCK_ROWS if (regen or max_depth <= 24) else 8, r)
     while r % br:
         br //= 2
     return max(br, 1)
@@ -94,6 +95,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         fog_ref,
         tri_ref,
         bvh_ref,
+        bvh_nodes_ref,
+        tri_mat_ref,
+        tri_obj_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -117,6 +121,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
+            bvh_nodes=bvh_nodes_ref,
+            tri_mat=tri_mat_ref,
+            tri_obj=tri_obj_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -150,6 +157,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # fog
             smem(),  # tri
             smem(),  # bvh_bounds
+            smem(),  # bvh_nodes
+            smem(),  # tri_mat
+            smem(),  # tri_obj
             lane_in,
             lane_in,
             lane_in,
@@ -175,6 +185,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
+        pack.bvh_nodes,
+        pack.tri_mat,
+        pack.tri_obj,
         orig.x,
         orig.y,
         orig.z,
@@ -199,12 +212,15 @@ def render_pass_pallas(
     samples: int,
     has_aperture: bool,
     normalize_pass: bool,
+    n_passes: int = 1,
 ):
-    """Whole-pass Pallas kernel: camera ray-gen, the 16-sample stratified
-    loop, the fog-once estimate, and the full bounce loop all execute
-    inside one program per lane block — no XLA<->kernel round trips within
-    a pass.  Shares the exact pass body with the XLA driver
-    (render.pass_body_grid).
+    """Whole-pass Pallas kernel: camera ray-gen, the stratified sample
+    loop (or the merged regeneration loop, integrator.pass_regen_gpu), the
+    fog-once estimate, and the full bounce loop all execute inside one
+    program per lane block — no XLA<->kernel round trips within a pass.
+    Shares the exact pass body with the XLA driver (render.pass_body_grid).
+    ``n_passes > 1`` renders a whole window of progressive passes in one
+    launch (regeneration loop only).
 
     px/py: i32 pixel-coordinate lane grids.  Returns (col V3, segs i32).
     """
@@ -213,7 +229,7 @@ def render_pass_pallas(
 
     shape = px.shape
     rows = shape[0]
-    br = _block_rows(shape, tcfg.max_depth)
+    br = _block_rows(shape, tcfg.max_depth, regen=integ.regen_enabled(tcfg))
     n_blocks = rows // br
 
     trace_core = integ._trace_cpu if tcfg.contract == "cpu" else integ._trace_gpu
@@ -227,6 +243,9 @@ def render_pass_pallas(
         fog_ref,
         tri_ref,
         bvh_ref,
+        bvh_nodes_ref,
+        tri_mat_ref,
+        tri_obj_ref,
         seed_ref,
         px_ref,
         py_ref,
@@ -245,6 +264,9 @@ def render_pass_pallas(
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
+            bvh_nodes=bvh_nodes_ref,
+            tri_mat=tri_mat_ref,
+            tri_obj=tri_obj_ref,
         )
         col, segs = render_mod.pass_body_grid(
             pack_k,
@@ -258,6 +280,7 @@ def render_pass_pallas(
             samples=samples,
             has_aperture=has_aperture,
             normalize_pass=normalize_pass,
+            n_passes=n_passes,
             trace_fn=lambda o, d, s: trace_core(o, d, s, pack_k, tcfg),
         )
         cx_ref[:] = col.x
@@ -287,6 +310,9 @@ def render_pass_pallas(
             smem(),  # fog
             smem(),  # tri
             smem(),  # bvh_bounds
+            smem(),  # bvh_nodes
+            smem(),  # tri_mat
+            smem(),  # tri_obj
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
@@ -307,6 +333,9 @@ def render_pass_pallas(
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
+        pack.bvh_nodes,
+        pack.tri_mat,
+        pack.tri_obj,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,
@@ -314,137 +343,9 @@ def render_pass_pallas(
     return V3(cx, cy, cz), jnp.sum(segs)
 
 
-def gpu_phase_pallas(carry, pack: ScenePack, cfg, d_end: int):
-    """Pallas-backed resumable bounce phase (integrator.gpu_phase) for the
-    deep-depth compaction driver: full lane state in and out, per-block
-    early exit within the phase.  Uses small (8-row) blocks — phases exist
-    precisely because stragglers dominate deep configs.
-    """
-    from .. import integrator as integ
-
-    d0, o, dv, thr, rad, alive_i, st, gobj, gdist, segs = carry
-    shape = o.x.shape
-    rows = shape[0]
-    br = min(8, rows)
-    while rows % br:
-        br //= 2
-    n_blocks = rows // br
-
-    def kernel(
-        mat_ref,
-        obj_ref,
-        light_ref,
-        cam_ref,
-        sky_ref,
-        fog_ref,
-        tri_ref,
-        bvh_ref,
-        d0_ref,
-        ox_ref, oy_ref, oz_ref,
-        dx_ref, dy_ref, dz_ref,
-        tx_ref, ty_ref, tz_ref,
-        rx_ref, ry_ref, rz_ref,
-        al_ref, st_ref, go_ref, gd_ref,
-        oox, ooy, ooz,
-        odx, ody, odz,
-        otx, oty, otz,
-        orx, ory, orz,
-        oal, ost, ogo, ogd,
-        oseg,
-    ):
-        pack_k = dataclasses.replace(
-            pack,
-            mat=mat_ref,
-            obj=obj_ref,
-            light_idx=light_ref,
-            cam=cam_ref,
-            sky=sky_ref,
-            fog=fog_ref,
-            tri=tri_ref,
-            bvh_bounds=bvh_ref,
-        )
-        carry_k = (
-            d0_ref[0],
-            V3(ox_ref[:], oy_ref[:], oz_ref[:]),
-            V3(dx_ref[:], dy_ref[:], dz_ref[:]),
-            V3(tx_ref[:], ty_ref[:], tz_ref[:]),
-            V3(rx_ref[:], ry_ref[:], rz_ref[:]),
-            al_ref[:],
-            st_ref[:],
-            go_ref[:],
-            gd_ref[:],
-            jnp.zeros((), jnp.int32),
-        )
-        # d_end rides in as a traced scalar so every phase reuses ONE
-        # compiled kernel
-        out = integ.gpu_phase(carry_k, pack_k, cfg, d0_ref[1])
-        (_d, o2, dv2, thr2, rad2, al2, st2, go2, gd2, seg2) = out
-        oox[:] = o2.x
-        ooy[:] = o2.y
-        ooz[:] = o2.z
-        odx[:] = dv2.x
-        ody[:] = dv2.y
-        odz[:] = dv2.z
-        otx[:] = thr2.x
-        oty[:] = thr2.y
-        otz[:] = thr2.z
-        orx[:] = rad2.x
-        ory[:] = rad2.y
-        orz[:] = rad2.z
-        oal[:] = al2
-        ost[:] = st2
-        ogo[:] = go2
-        ogd[:] = gd2
-        oseg[pl.program_id(0), 0] = seg2
-
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    lane = lambda: pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)  # noqa: E731
-
-    f32 = lambda: jax.ShapeDtypeStruct(shape, jnp.float32)  # noqa: E731
-    out_shape = (
-        f32(), f32(), f32(),  # orig
-        f32(), f32(), f32(),  # dir
-        f32(), f32(), f32(),  # throughput
-        f32(), f32(), f32(),  # radiance
-        jax.ShapeDtypeStruct(shape, jnp.int32),   # alive
-        jax.ShapeDtypeStruct(shape, jnp.uint32),  # rng
-        jax.ShapeDtypeStruct(shape, jnp.int32),   # glass obj
-        f32(),                                     # glass dist
-        jax.ShapeDtypeStruct((n_blocks, 1), jnp.int32),
-    )
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[smem()] * 9 + [lane()] * 16,
-        out_specs=tuple([lane()] * 16)
-        + (pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),),
-        out_shape=out_shape,
-    )(
-        pack.mat,
-        pack.obj,
-        pack.light_idx,
-        pack.cam,
-        pack.sky,
-        pack.fog,
-        pack.tri,
-        pack.bvh_bounds,
-        jnp.stack([jnp.asarray(d0, jnp.int32), jnp.asarray(d_end, jnp.int32)]),
-        o.x, o.y, o.z,
-        dv.x, dv.y, dv.z,
-        thr.x, thr.y, thr.z,
-        rad.x, rad.y, rad.z,
-        alive_i, st, gobj, gdist,
-    )
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al, st2, go, gd, seg_blocks) = outs
-    return (
-        jnp.int32(d_end),
-        V3(ox, oy, oz),
-        V3(dx, dy, dz),
-        V3(tx, ty, tz),
-        V3(rx, ry, rz),
-        al,
-        st2,
-        go,
-        gd,
-        segs + jnp.sum(seg_blocks),
-    )
+# NOTE: the round-1 "deep-depth compaction" experiment (phased bounce
+# kernel + alive-first multi-operand lax.sort between phases) was removed:
+# path regeneration (integrator.pass_regen_gpu) makes the deep-depth
+# straggler problem disappear with zero data movement — measured 128.5
+# Mrays/s at depth 80 on gpu_showcase@1080p vs 8.2 for 8-row blocks and
+# 2.5 for the sort-based compaction it replaced.

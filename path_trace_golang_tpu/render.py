@@ -62,6 +62,10 @@ BACKEND_CPU = "cpu"
 BACKEND_GPU = "gpu"
 _backend = BACKEND_CPU
 
+# Decorrelation constant for the fog estimate's independent counter stream
+# (see pass_body_grid): golden-ratio bits, any fixed odd constant works.
+FOG_STREAM_XOR = 0x9E3779B9
+
 
 def set_backend(b: str) -> None:
     global _backend
@@ -128,6 +132,7 @@ def pass_body_grid(
     normalize_pass: bool,
     trace_fn,
     active=None,
+    n_passes: int = 1,
 ):
     """One full progressive pass on pixel-coordinate lane grids.
 
@@ -139,7 +144,7 @@ def pass_body_grid(
     multi-chip driver, and the whole-pass Pallas kernel (which calls it
     with the in-kernel trace function).  Returns (col V3, segs i32).
     """
-    from .integrator import fog_prepass_grid
+    from .integrator import fog_prepass_grid, pass_regen_gpu, regen_enabled
     from .ops.vec import V3
 
     shape = px.shape
@@ -156,18 +161,54 @@ def pass_body_grid(
         # One fog march per pass (PHYSICS.md D6): estimate the in-scatter
         # term on a single jittered primary ray and weight it by the
         # sample count — same expectation as the reference's per-sample
-        # march at ~1/16 the cost.
-        rng0 = LaneRng(state0)
-        jx = rng0.next()
-        jy = rng0.next()
-        u0 = (pxf + jx) * inv_w
-        v0 = (fy + jy) * inv_h
-        fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture)
-        fog_rad, fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
-        col_pre = fog_rad * _F(samples)
+        # march at ~1/16 the cost.  The march draws from its OWN counter
+        # stream (frame_seed ^ FOG_STREAM_XOR) instead of advancing the
+        # trace state, so per-lane trace chains are identical whether
+        # passes run one-at-a-time, in a window, or spp-sharded across
+        # devices — sharding cannot change the image beyond fp scheduling.
+        for p in range(n_passes):
+            fs = jnp.asarray(frame_seed, jnp.uint32) + jnp.uint32(p)
+            rng0 = LaneRng(seed_lanes(px, py, fs ^ jnp.uint32(FOG_STREAM_XOR)))
+            jx = rng0.next()
+            jy = rng0.next()
+            u0 = (pxf + jx) * inv_w
+            v0 = (fy + jy) * inv_h
+            fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture)
+            fog_rad, _fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
+            col_pre = col_pre + fog_rad * _F(samples)
         if active is not None:
             col_pre = V3.where(active, col_pre, V3.zeros(shape))
-        state0 = fog_state
+
+    if regen_enabled(tcfg):
+        # Merged sample+bounce loop with per-lane path regeneration: the
+        # straggler-proof schedule for deep bounce budgets (see
+        # integrator.pass_regen_gpu).  Ignores trace_fn — the physics is
+        # traced inline against this pack (inside the Pallas kernel the
+        # pack's tables are the kernel refs).
+        col, _state, segs = pass_regen_gpu(
+            pack,
+            px,
+            py,
+            state0,
+            cfg=tcfg,
+            width=width,
+            height=height,
+            n_strata=n_strata,
+            samples=samples,
+            has_aperture=has_aperture,
+            frame_seed=frame_seed,
+            n_passes=n_passes,
+            col_init=col_pre,
+            active=active,
+        )
+        if normalize_pass:
+            # keep accum in "per-pass sum" units: the driver bumps the
+            # pass count by n_passes for a window dispatch
+            col = col * _F(1.0 / samples)
+        return col, segs
+
+    if n_passes != 1:
+        raise ValueError("n_passes > 1 requires the regeneration loop (gpu contract)")
 
     def sample_body(s, carry):
         state, col, segs = carry
@@ -207,6 +248,7 @@ def trace_pass_lanes(
     samples: int,
     has_aperture: bool,
     normalize_pass: bool,
+    n_passes: int = 1,
 ):
     """Trace one full pass for the given flat pixel indices ``idx`` (i32[N]).
 
@@ -240,17 +282,11 @@ def trace_pass_lanes(
         samples=samples,
         has_aperture=has_aperture,
         normalize_pass=normalize_pass,
+        n_passes=n_passes,
     )
 
-    from .integrator import DEEP_DEPTH_THRESHOLD
-
-    deep_compaction = (
-        tcfg.max_depth > DEEP_DEPTH_THRESHOLD
-        and os.environ.get("PATHTRACER_DEEP_COMPACTION", "") in ("1", "true", "on")
-    )
     if (
         os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
-        and not deep_compaction  # experimental path routes via trace_grid
         and pallas_trace.pallas_supported((rows, LANE), pack, tcfg, active)
     ):
         col, segs = pallas_trace.render_pass_pallas(pack, frame_seed, px, py, **kwargs)
@@ -272,7 +308,7 @@ def trace_pass_lanes(
 
 @partial(
     jax.jit,
-    static_argnames=("tcfg", "width", "height", "n_strata", "samples", "has_aperture", "chunk", "normalize_pass"),
+    static_argnames=("tcfg", "width", "height", "n_strata", "samples", "has_aperture", "chunk", "normalize_pass", "n_passes"),
     donate_argnames=("accum",),
 )
 def _render_pass_chunk(
@@ -289,8 +325,9 @@ def _render_pass_chunk(
     has_aperture: bool,
     chunk: int,
     normalize_pass: bool,
+    n_passes: int = 1,
 ):
-    """Trace one pass for ``chunk`` consecutive lanes; add into accum."""
+    """Trace one pass window for ``chunk`` consecutive lanes; add into accum."""
     idx = start + jnp.arange(chunk, dtype=jnp.int32)
     col, segs = trace_pass_lanes(
         pack,
@@ -303,6 +340,7 @@ def _render_pass_chunk(
         samples=samples,
         has_aperture=has_aperture,
         normalize_pass=normalize_pass,
+        n_passes=n_passes,
     )
     cur = lax.dynamic_slice(accum, (start, jnp.int32(0)), (chunk, 3))
     accum = lax.dynamic_update_slice(accum, cur + col, (start, jnp.int32(0)))
@@ -358,6 +396,11 @@ class Renderer:
             except Exception as e:  # GPU->CPU fallback (renderer.go:250-263)
                 import sys
 
+                if os.environ.get("PATHTRACER_NO_FALLBACK", "") in ("1", "true", "on"):
+                    # honesty toggle for CI/bench: a compile or runtime
+                    # regression in the gpu contract must FAIL, not
+                    # silently demote every render to the slow contract
+                    raise
                 print(
                     f"GPU-contract render error: {e}\nFalling back to CPU contract.",
                     file=sys.stderr,
@@ -439,8 +482,24 @@ class Renderer:
                 return finalize_gpu_contract(flat, jnp.asarray(count), denoise=False)
             return finalize_cpu_contract(flat, jnp.asarray(count))
 
+        # Pass-window batching: with the regeneration loop, several
+        # progressive passes can run in ONE dispatch — the per-window idle
+        # tail (lanes waiting on the block's last path) is then amortized
+        # over `window` passes.  Interactive use (progress / cancel /
+        # checkpoint) caps the window at the update cadence so streaming
+        # and cancellation latency keep the reference's ~10% granularity.
+        from .integrator import regen_enabled
+
+        window = 1
+        if regen_enabled(tcfg):
+            window = max(1, int(os.environ.get("PATHTRACER_PASS_WINDOW", "8")))
+            if progress is not None or cancel is not None or self.checkpoint_path:
+                window = min(window, update_every)
+
         completed = start_pass
-        for p in range(start_pass, passes):
+        p = start_pass
+        while p < passes:
+            nw = min(window, passes - p)
             frame_seed = jnp.uint32(self.seed + p)
             for c in range(n_chunks):
                 accum, segs = _render_pass_chunk(
@@ -456,18 +515,20 @@ class Renderer:
                     has_aperture=has_aperture,
                     chunk=chunk,
                     normalize_pass=self.normalize_pass,
+                    n_passes=nw,
                 )
                 total_segs = total_segs + segs.astype(jnp.float32)
-            completed = p + 1
-            if (p % update_every) == update_every - 1 or p == passes - 1:
+            p += nw
+            completed = p
+            if (p % update_every) < nw or p == passes:
                 nonfinite = int(metrics_mod.nonfinite_count(accum))
-                metrics.interval(p + 1, int(total_segs), nonfinite)
+                metrics.interval(p, int(total_segs), nonfinite)
                 if self.checkpoint_path:
                     ckpt_mod.save_checkpoint(
                         self.checkpoint_path,
                         ckpt_mod.Checkpoint(
                             accum=np.asarray(accum),
-                            passes=p + 1,
+                            passes=p,
                             seed=self.seed,
                             digest=digest,
                             width=w,
@@ -475,7 +536,7 @@ class Renderer:
                         ),
                     )
                 if progress is not None:
-                    progress(p + 1, np.asarray(preview_image(accum, p + 1)))
+                    progress(p, np.asarray(preview_image(accum, p)))
             if cancel is not None and cancel():
                 break
 

@@ -108,6 +108,12 @@ class ScenePack:
     n_triangles: int = dataclasses.field(default=0, metadata=dict(static=True))
     tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
+    # dynamic-walk topology tables (bvh.py traverse_triangles_dynamic):
+    # per node [miss, first, count]; per BVH-ordered triangle its material
+    # index and global object index (= n_objects + original triangle id)
+    bvh_nodes: Optional[jax.Array] = None  # i32[max(B,1), 3]
+    tri_mat: Optional[jax.Array] = None  # i32[max(T,1)]
+    tri_obj: Optional[jax.Array] = None  # i32[max(T,1)]
 
     # ---- unpacked views used by the kernels (cheap in-jit slices) ----
     @property
@@ -340,10 +346,23 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             tri_rows[bvh_i, 0:3] = v0[orig]
             tri_rows[bvh_i, 3:6] = e1[orig]
             tri_rows[bvh_i, 6:9] = e2[orig]
+        bvh_nodes = np.stack(
+            [np.asarray(topo.miss), np.asarray(topo.first), np.asarray(topo.count)],
+            axis=-1,
+        ).astype(np.int32)
+        tri_mat_bvh = np.asarray(
+            [tri_mat_list[orig] for orig in topo.order], np.int32
+        )
+        tri_obj_bvh = np.asarray(
+            [o_count + orig for orig in topo.order], np.int32
+        )
     else:
         topo = None
         bvh_bounds = np.zeros((1, 6), np.float32)
         tri_rows = np.zeros((1, 9), np.float32)
+        bvh_nodes = np.zeros((1, 3), np.int32)
+        tri_mat_bvh = np.zeros((1,), np.int32)
+        tri_obj_bvh = np.zeros((1,), np.int32)
 
     return ScenePack(
         mat=jax.numpy.asarray(mat),
@@ -364,4 +383,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         n_triangles=t_count,
         tri_mats=tuple(tri_mat_list),
         bvh=topo,
+        bvh_nodes=jax.numpy.asarray(bvh_nodes),
+        tri_mat=jax.numpy.asarray(tri_mat_bvh),
+        tri_obj=jax.numpy.asarray(tri_obj_bvh),
     )

@@ -25,6 +25,7 @@ __all__ = [
     "get_smooth_config",
     "set_smooth_config_from_ui",
     "get_chunk_size",
+    "reset_cache",
 ]
 
 _TRUE = ("1", "true", "on", "yes")
@@ -128,6 +129,16 @@ def set_smooth_config_from_ui(enabled: bool, radius: int, strength: float) -> No
         radius=min(5, max(1, int(radius))),
         strength=min(1.0, max(0.0, float(strength))),
     )
+
+
+def reset_cache() -> None:
+    """Drop the read-once caches and UI overrides (tests; the reference's
+    sync.Once has no reset — this is a test-harness extension)."""
+    global _denoise_cache, _denoise_override, _smooth_cache, _smooth_override
+    _denoise_cache = None
+    _denoise_override = None
+    _smooth_cache = None
+    _smooth_override = None
 
 
 def get_chunk_size(default: int = 1 << 18) -> int:

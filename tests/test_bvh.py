@@ -216,3 +216,172 @@ def test_triangle_scene_json_roundtrip():
         objects=[_tri_obj("t", (0, 0, 0), (1, 0, 0), (0, 1, 0), "m"), _icosahedron_mesh("m")],
     )
     assert S.loads(S.dumps(sc)) == sc
+
+
+# ---------------------------------------------------------------------------
+# Dynamic packet walk (large meshes / Pallas SMEM tables)
+# ---------------------------------------------------------------------------
+
+
+def _random_tri_scene(t, seed=7, lo=-4, hi=4):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(lo, hi, size=(t, 3))
+    e1 = rng.normal(size=(t, 3)) * 0.6
+    e2 = rng.normal(size=(t, 3)) * 0.6
+    mats = [mat("a", albedo=(0.6, 0.3, 0.2)), mat("b", albedo=(0.2, 0.6, 0.3))]
+    objs = [
+        _tri_obj(f"t{i}", v0[i], v0[i] + e1[i], v0[i] + e2[i], "a" if i % 2 else "b")
+        for i in range(t)
+    ]
+    return S.Scene(camera=base_camera(), sky=solid_sky(), materials=mats, objects=objs)
+
+
+def test_dynamic_walk_matches_static():
+    """The while-loop packet walk (large-mesh path) and the unrolled walk
+    visit triangles with identical candidate math — closest hits and all
+    winner constants must match bitwise."""
+    import os
+
+    import jax
+
+    sc = _random_tri_scene(60)
+    pack = pack_scene(sc)
+    rng = np.random.default_rng(3)
+    n = 256
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o, d = V3.from_rows(jnp.asarray(o_np)), V3.from_rows(jnp.asarray(d_np))
+
+    h_static = jax.jit(lambda o, d: geometry.intersect_world(o, d, pack))(o, d)
+    os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        h_dyn = jax.jit(lambda o, d: geometry.intersect_world(o, d, pack))(o, d)
+    finally:
+        del os.environ["PATHTRACER_BVH_DYNAMIC"]
+
+    hit = np.asarray(h_static.hit)
+    assert hit.any()
+    assert np.array_equal(hit, np.asarray(h_dyn.hit))
+    np.testing.assert_array_equal(np.asarray(h_static.t), np.asarray(h_dyn.t))
+    # normals/materials are only defined on hit lanes (miss lanes carry
+    # whatever the winner chain defaulted to, which differs by walk).
+    # Normals agree to 1 ulp: the unrolled walk folds the cross product in
+    # python doubles at trace time, the dynamic walk computes it in f32.
+    np.testing.assert_allclose(
+        np.asarray(h_static.normal.to_rows())[hit.ravel()],
+        np.asarray(h_dyn.normal.to_rows())[hit.ravel()],
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h_static.albedo.to_rows())[hit.ravel()],
+        np.asarray(h_dyn.albedo.to_rows())[hit.ravel()],
+    )
+    assert np.array_equal(np.asarray(h_static.mat_idx), np.asarray(h_dyn.mat_idx))
+    assert np.array_equal(np.asarray(h_static.obj_idx), np.asarray(h_dyn.obj_idx))
+
+
+def test_dynamic_walk_occlusion_matches_static():
+    import os
+
+    import jax
+
+    sc = _random_tri_scene(48, seed=11)
+    pack = pack_scene(sc)
+    rng = np.random.default_rng(5)
+    n = 256
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o, d = V3.from_rows(jnp.asarray(o_np)), V3.from_rows(jnp.asarray(d_np))
+
+    b_static = jax.jit(lambda o, d: geometry.occluded(o, d, pack, 1e-3, 8.0))(o, d)
+    os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        b_dyn = jax.jit(lambda o, d: geometry.occluded(o, d, pack, 1e-3, 8.0))(o, d)
+    finally:
+        del os.environ["PATHTRACER_BVH_DYNAMIC"]
+    assert np.array_equal(np.asarray(b_static), np.asarray(b_dyn))
+
+
+def test_large_mesh_routes_to_dynamic_walk_and_renders():
+    """>128 triangles auto-selects the dynamic walk; an end-to-end render
+    through it must be finite, deterministic and show the mesh."""
+    from path_trace_golang_tpu.ops.bvh import use_dynamic_walk
+
+    rng = np.random.default_rng(0)
+    # a 10x10x2 grid of quads = 200 triangles forming a bumpy sheet
+    tris = []
+    for i in range(10):
+        for j in range(10):
+            x0, z0 = i * 0.4 - 2, j * 0.4 - 2
+            y = 1.0 + 0.2 * rng.standard_normal()
+            a, b, c, dd = (
+                (x0, y, z0),
+                (x0 + 0.4, y, z0),
+                (x0 + 0.4, y, z0 + 0.4),
+                (x0, y, z0 + 0.4),
+            )
+            tris.append(_tri_obj(f"q{i}_{j}a", a, b, c, "sheet"))
+            tris.append(_tri_obj(f"q{i}_{j}b", a, c, dd, "sheet"))
+    assert use_dynamic_walk(len(tris))
+    sc = S.Scene(
+        camera=S.Camera(position=S.Vec3(0, 4, 5), target=S.Vec3(0, 1, 0), up=S.Vec3(0, 1, 0), fov=50),
+        sky=solid_sky((0.2, 0.3, 0.5)),
+        materials=[mat("sheet", "lambert", (0.7, 0.5, 0.3)), mat("ground", "lambert", (0.2, 0.2, 0.2))],
+        objects=[obj("p", "plane", (0, 0, 0), material_id="ground")] + tris,
+    )
+    r = pt.Renderer(contract="gpu", seed=4, chunk=48 * 32)
+    cfg = pt.RenderConfig(width=48, height=32, samples_per_px=1, max_depth=3)
+    img = r.render(sc, cfg)
+    assert np.isfinite(img.astype(float)).all()
+    assert img.mean() > 5.0
+    img2 = pt.Renderer(contract="gpu", seed=4, chunk=48 * 32).render(sc, cfg)
+    assert np.array_equal(img, img2)
+
+
+def test_dynamic_walk_visits_sublinear_for_coherent_packet():
+    """The global-jump cursor skips subtrees the whole packet misses: a
+    tight coherent packet must visit far fewer nodes than the tree has."""
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh as bvh_mod
+
+    sc = _random_tri_scene(512, seed=2, lo=-20, hi=20)
+    pack = pack_scene(sc)
+    n_nodes = pack.bvh.n_nodes
+
+    shape = (2, 128)
+    o = V3(jnp.full(shape, -30.0), jnp.zeros(shape), jnp.zeros(shape))
+    # narrow bundle aimed at one corner of the scene
+    jit = np.linspace(0, 0.02, 256, dtype=np.float32).reshape(shape)
+    d = V3(
+        jnp.ones(shape),
+        jnp.asarray(jit) + 0.30,
+        jnp.asarray(jit) * 0.5 + 0.30,
+    ).normalize()
+
+    state = dict(
+        best_t=jnp.full(shape, geometry.BIG_T),
+        best_m=jnp.zeros(shape, jnp.int32),
+        best_type=jnp.zeros(shape, jnp.int32),
+        best_mat=jnp.zeros(shape, jnp.int32),
+        best_mtyp=jnp.zeros(shape, jnp.int32),
+        b_rough=jnp.zeros(shape),
+        b_ior=jnp.zeros(shape),
+        b_smooth=jnp.zeros(shape),
+        b_refl=jnp.zeros(shape),
+        b_abss=jnp.zeros(shape),
+        b_albedo=V3.zeros(shape),
+        b_emit=V3.zeros(shape),
+        b_absorb=V3.zeros(shape),
+        b_tint=V3.zeros(shape),
+        nx=jnp.zeros(shape),
+        ny=jnp.zeros(shape),
+        nz=jnp.zeros(shape),
+    )
+    _st, visits = jax.jit(
+        lambda o, d: bvh_mod.traverse_triangles_dynamic(o, d, pack, 1e-3, state)
+    )(o, d)
+    visits = int(visits)
+    assert visits < n_nodes // 2, (visits, n_nodes)

@@ -68,3 +68,93 @@ def test_mesh_progress_and_stats():
     assert img.shape == (24, 40, 3)
     assert calls[-1] == 4
     assert mesh.stats.ray_segments > 0
+
+
+# ---------------------------------------------------------------------------
+# Feature-parity matrix: MeshRenderer must support everything Renderer does
+# (cancel, checkpoint/resume, chunked shards, preview-vs-final post chain)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("renderer_kind", ["single", "mesh"])
+def test_parity_cancel(renderer_kind):
+    sc = lambert_floor_scene()
+    cfg = pt.RenderConfig(width=40, height=24, samples_per_px=8, max_depth=3)
+    ticks = []
+
+    def cancel():
+        ticks.append(1)
+        return len(ticks) >= 2  # stop after the 2nd dispatch
+
+    if renderer_kind == "single":
+        r = pt.Renderer(contract="cpu", seed=3)
+    else:
+        r = MeshRenderer(make_mesh(2, 1), contract="cpu", seed=3)
+    img = r.render(sc, cfg, cancel=cancel)
+    assert img.shape == (24, 40, 3)
+    assert 0 < r.stats.passes < 8  # cancelled early, partial image finalized
+
+
+@pytest.mark.parametrize("renderer_kind", ["single", "mesh"])
+def test_parity_checkpoint_resume(renderer_kind, tmp_path):
+    sc = lambert_floor_scene()
+    cfg = pt.RenderConfig(width=40, height=24, samples_per_px=4, max_depth=3)
+    ck = str(tmp_path / f"ck_{renderer_kind}.npz")
+
+    def make(seed=5):
+        if renderer_kind == "single":
+            return pt.Renderer(contract="cpu", seed=seed, checkpoint_path=ck)
+        return MeshRenderer(make_mesh(2, 1), contract="cpu", seed=seed, checkpoint_path=ck)
+
+    # full uninterrupted render (writes its checkpoint at the end)
+    full = make().render(sc, cfg)
+
+    # interrupted render: cancel after the first update, then resume
+    ticks = []
+    r1 = make()
+    r1.render(sc, cfg, cancel=lambda: ticks.append(1) is None and len(ticks) >= 1)
+    assert 0 < r1.stats.passes < 4
+    r2 = make()
+    resumed = r2.render(sc, cfg)
+    assert r2.stats.resumed_from == r1.stats.passes
+    assert np.array_equal(full, resumed)  # exact resume
+
+
+@pytest.mark.parametrize("chunk", [0, 256])
+def test_mesh_chunked_shards_match(chunk):
+    """Chunking within a px shard must not change the image (same lanes,
+    same seeds, just bounded in-flight state)."""
+    sc = lambert_floor_scene()
+    cfg = pt.RenderConfig(width=48, height=32, samples_per_px=2, max_depth=3)
+    img = MeshRenderer(make_mesh(4, 2), contract="cpu", seed=9, chunk=chunk).render(sc, cfg)
+    ref = MeshRenderer(make_mesh(4, 2), contract="cpu", seed=9).render(sc, cfg)
+    a = img.astype(np.float64)
+    b = ref.astype(np.float64)
+    assert abs(a.mean() - b.mean()) < 1.5
+    assert (np.abs(a - b) > 40).mean() < 0.02
+
+
+def test_mesh_final_applies_smooth_config(monkeypatch):
+    """The final mesh image honors the PATHTRACER_GPU_SMOOTH chain like the
+    single-chip renderer (render.py current_image)."""
+    from path_trace_golang_tpu.utils import config as env_config
+
+    sc = full_feature_scene()
+    cfg = pt.RenderConfig(width=48, height=32, samples_per_px=1, max_depth=3)
+    plain = MeshRenderer(make_mesh(4, 2), contract="gpu", seed=4).render(sc, cfg)
+
+    monkeypatch.setenv("PATHTRACER_GPU_SMOOTH", "1")
+    monkeypatch.setenv("PATHTRACER_GPU_SMOOTH_RADIUS", "2")
+    monkeypatch.setenv("PATHTRACER_GPU_SMOOTH_STRENGTH", "1.0")
+    env_config.reset_cache()
+    try:
+        smoothed = MeshRenderer(make_mesh(4, 2), contract="gpu", seed=4).render(sc, cfg)
+    finally:
+        monkeypatch.delenv("PATHTRACER_GPU_SMOOTH")
+        env_config.reset_cache()
+    # smoothing reduces local variance
+    def local_var(im):
+        f = im.astype(np.float64)
+        return np.abs(np.diff(f, axis=0)).mean() + np.abs(np.diff(f, axis=1)).mean()
+
+    assert local_var(smoothed) < local_var(plain)
