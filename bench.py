@@ -39,8 +39,15 @@ def main() -> int:
 
     width, height = 1920, 1080
     max_depth = 12  # gpu_showcase settings (SURVEY.md §6)
-    warm_passes = 1
-    bench_passes = int(os.environ.get("BENCH_PASSES", "8"))
+    # The warmup must compile the SAME kernels the timed run uses: the
+    # timed run renders whole pass windows (PATHTRACER_PASS_WINDOW,
+    # default 8), so a 1-pass warmup would leave the window kernel's
+    # ~90s compile inside the timed region whenever the persistent cache
+    # misses (fresh backend/libtpu).  Warm one full window.
+    window = max(1, int(os.environ.get("PATHTRACER_PASS_WINDOW", "8")))
+    bench_passes = int(os.environ.get("BENCH_PASSES", "16"))
+    bench_passes = max(bench_passes, window)
+    warm_passes = min(window, bench_passes)
 
     path = builtin.find_scene("gpu_showcase")
     if path is not None:
