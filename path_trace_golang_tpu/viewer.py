@@ -11,9 +11,17 @@ Endpoints (also usable programmatically / from tests):
   GET /            — viewer page
   GET /frame.png   — latest preview/final frame
   GET /status      — JSON: fps, Mrays/s, frame generation
+  GET /status?wait=1&gen=N — long-poll: blocks until gen != N (or ~25s)
+  GET /events      — Server-Sent Events: one status event per new frame
   GET /key?k=w     — camera key (w/a/s/d/q/e, left/right/up/down)
   GET /final       — trigger a final-quality render
   GET /save?path=  — save the cached final render as PNG
+
+Frames are PUSHED: the page opens an EventSource on ``/events`` and the
+server emits a status event the moment a progressive pass lands (a
+condition variable signalled from the render thread's frame callback) —
+no fixed 250 ms poll tick between frames.  Long-poll ``/status?wait=1``
+offers the same push semantics to plain-HTTP clients and tests.
 """
 
 from __future__ import annotations
@@ -42,17 +50,24 @@ img{image-rendering:pixelated;border:1px solid #333;max-width:95vw}
 <div>keys: WASDQE move · arrows rotate · F final · P save</div>
 <script>
 let gen = -1;
+function show(st){
+  document.getElementById('s').textContent =
+    `pass ${st.pass} · ${st.fps.toFixed(2)} fps · ${st.mrays.toFixed(1)} Mrays/s`;
+  if(st.gen !== gen){ gen = st.gen;
+    document.getElementById('v').src = '/frame.png?g=' + gen; }
+}
+// push path: the server emits one SSE event per finished progressive
+// pass; no polling between frames
+const es = new EventSource('/events');
+es.onmessage = ev => show(JSON.parse(ev.data));
+es.onerror = () => { es.close(); tick(); };  // fallback: long-poll
 async function tick(){
   try{
-    const st = await (await fetch('/status')).json();
-    document.getElementById('s').textContent =
-      `pass ${st.pass} · ${st.fps.toFixed(2)} fps · ${st.mrays.toFixed(1)} Mrays/s`;
-    if(st.gen !== gen){ gen = st.gen;
-      document.getElementById('v').src = '/frame.png?g=' + gen; }
-  }catch(e){}
-  setTimeout(tick, 250);
+    const st = await (await fetch('/status?wait=1&gen=' + gen)).json();
+    show(st);
+  }catch(e){ await new Promise(r=>setTimeout(r, 1000)); }
+  tick();
 }
-tick();
 const keys = {w:'w',a:'a',s:'s',d:'d',q:'q',e:'e',
   ArrowLeft:'left',ArrowRight:'right',ArrowUp:'up',ArrowDown:'down'};
 document.addEventListener('keydown', ev=>{
@@ -69,6 +84,7 @@ class ViewerServer:
     def __init__(self, session: InteractiveSession, host: str = "127.0.0.1", port: int = 8000):
         self.session = session
         self._frame_lock = threading.Lock()
+        self._frame_cond = threading.Condition(self._frame_lock)
         self._frame_png: Optional[bytes] = None
         self._gen = 0
         self._pass = 0
@@ -101,7 +117,31 @@ class ViewerServer:
                     else:
                         self._send(200, "image/png", data)
                 elif url.path == "/status":
+                    if (q.get("wait") or ["0"])[0] in ("1", "true"):
+                        last = int((q.get("gen") or ["-1"])[0])
+                        viewer.wait_for_frame(last, timeout=25.0)
                     self._send(200, "application/json", viewer.status_json().encode())
+                elif url.path == "/events":
+                    # Server-Sent Events: push a status event per new frame
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    last = -1
+                    try:
+                        # initial event so the page renders immediately
+                        self.wfile.write(b"retry: 1000\n")
+                        while True:
+                            changed = viewer.wait_for_frame(last, timeout=15.0)
+                            body = viewer.status_json().encode()
+                            if changed:
+                                last = json.loads(body)["gen"]
+                                self.wfile.write(b"data: " + body + b"\n\n")
+                            else:  # heartbeat comment keeps proxies open
+                                self.wfile.write(b": keep-alive\n\n")
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        return
                 elif url.path == "/key":
                     k = (q.get("k") or [""])[0]
                     ok = viewer.session.move_key(k) or viewer.session.arrow_key(k)
@@ -138,14 +178,31 @@ class ViewerServer:
 
     def _on_frame(self, pass_idx: int, img: np.ndarray) -> None:
         data = self._encode(img)
-        with self._frame_lock:
+        with self._frame_cond:
             self._frame_png = data
             self._gen += 1
             self._pass = pass_idx
+            self._frame_cond.notify_all()
 
     def frame_png(self) -> Optional[bytes]:
         with self._frame_lock:
             return self._frame_png
+
+    def wait_for_frame(self, last_gen: int, timeout: float = 25.0) -> bool:
+        """Block until the frame generation differs from ``last_gen``.
+
+        Returns True when a new frame arrived, False on timeout — the
+        push primitive behind /events and /status?wait=1."""
+        deadline = timeout
+        with self._frame_cond:
+            if self._gen != last_gen and self._frame_png is not None:
+                return True
+            return bool(
+                self._frame_cond.wait_for(
+                    lambda: self._gen != last_gen and self._frame_png is not None,
+                    timeout=deadline,
+                )
+            )
 
     def status_json(self) -> str:
         with self._frame_lock:

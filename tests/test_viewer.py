@@ -52,6 +52,52 @@ def test_viewer_page_and_frame(server):
     assert st["gen"] >= 1 and st["pass"] >= 1
 
 
+def test_viewer_long_poll_pushes_on_new_frame(server):
+    """/status?wait=1 blocks until the NEXT frame generation (push, not
+    poll): issued before a render with gen=-1 it returns as soon as a
+    frame lands, and a repeat with the current gen blocks."""
+    t0 = time.time()
+    server.session.render_now(False)
+    code, status = _get(server, "/status?wait=1&gen=-1")
+    st = json.loads(status)
+    assert code == 200 and st["gen"] >= 1
+
+    # with the current gen and no render running, the long-poll must block
+    # (bounded here by wait_for_frame's 25s ceiling — use a thread + join)
+    import threading
+
+    got = {}
+
+    def waiter():
+        _code, body = _get(server, f"/status?wait=1&gen={st['gen']}")
+        got["st"] = json.loads(body)
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    t.join(timeout=1.0)
+    assert t.is_alive(), "long-poll returned without a new frame"
+    server.session.render_now(False)  # new frame releases the waiter
+    t.join(timeout=60)
+    assert not t.is_alive() and got["st"]["gen"] > st["gen"]
+
+
+def test_viewer_sse_stream(server):
+    """/events emits one SSE data event per frame."""
+    import socket
+
+    server.session.render_now(False)
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+        s.sendall(b"GET /events HTTP/1.1\r\nHost: x\r\n\r\n")
+        s.settimeout(30)
+        buf = b""
+        deadline = time.time() + 60
+        while b"\ndata: " not in buf and time.time() < deadline:
+            buf += s.recv(4096)
+        payload = buf.split(b"\ndata: ", 1)[1].split(b"\n", 1)[0]
+        st = json.loads(payload)
+        assert st["gen"] >= 1 and "mrays" in st
+
+
 def test_viewer_key_and_save(server, tmp_path):
     server.session.render_now(False)
     cam = server.session.scene.camera

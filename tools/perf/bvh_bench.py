@@ -1,0 +1,183 @@
+"""BVH scaling benchmark: >=10k-triangle mesh through the dynamic packet walk.
+
+VERDICT round-1 item 6 asked for evidence that the BVH traversal scales
+past the unrolled O(nodes) walk: this benchmark builds a ~10k-triangle UV
+-sphere mesh (far above the 128-triangle static-unroll cliff and the 2k
+Pallas SMEM budget), renders it end-to-end on the XLA path, and measures
+the dynamic packet walk's node-visit counts directly:
+
+* coherent packets (camera rays of one tile) must visit a small fraction
+  of the tree — the global-jump cursor skips subtrees no lane wants;
+* incoherent packets (random rays) are the adversarial case and bound
+  the walk from above (worst case ~n_nodes, the lockstep-walk cost).
+
+Usage: python tools/perf/bvh_bench.py [n_lat] [n_lon]
+Defaults build 2*80*64 = 10,240 triangles.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def uv_sphere(n_lat: int, n_lon: int, center=(0.0, 1.0, 0.0), radius=1.0):
+    """Indexed UV-sphere mesh: 2 * n_lat * n_lon triangles."""
+    cx, cy, cz = center
+    verts = []
+    for i in range(n_lat + 1):
+        theta = np.pi * i / n_lat
+        for j in range(n_lon):
+            phi = 2 * np.pi * j / n_lon
+            verts.append(
+                (
+                    cx + radius * np.sin(theta) * np.cos(phi),
+                    cy + radius * np.cos(theta),
+                    cz + radius * np.sin(theta) * np.sin(phi),
+                )
+            )
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append((a, b, c))
+            faces.append((b, d, c))
+    return verts, faces
+
+
+def main() -> int:
+    from path_trace_golang_tpu import render as render_mod
+    from path_trace_golang_tpu.ops import bvh as bvh_mod
+    from path_trace_golang_tpu.ops.camera import camera_rays
+    from path_trace_golang_tpu.ops.rng import LaneRng, seed_lanes
+    from path_trace_golang_tpu.ops.vec import LANE, V3
+    from path_trace_golang_tpu.scene import model as M
+    from path_trace_golang_tpu.soa import pack_scene
+
+    n_lat = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    n_lon = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    verts, faces = uv_sphere(n_lat, n_lon)
+
+    sc = M.Scene(
+        camera=M.Camera(
+            position=M.Vec3(0, 1.5, 4.5), target=M.Vec3(0, 1, 0), fov=50.0
+        ),
+        materials=[
+            M.Material(id="grey", type="lambert", albedo=M.Color(0.6, 0.6, 0.65)),
+            M.Material(id="gold", type="metal", albedo=M.Color(0.9, 0.7, 0.3), smoothness=0.6),
+            M.Material(
+                id="sun", type="emissive", emit=M.Color(1, 0.95, 0.8), power=40.0
+            ),
+        ],
+        objects=[
+            M.Object(id="floor", type="plane", material_id="grey", position=M.Vec3(0, 0, 0)),
+            M.Object(
+                id="blob",
+                type="mesh",
+                material_id="gold",
+                mesh={"vertices": [list(v) for v in verts], "faces": [list(f) for f in faces]},
+            ),
+            M.Object(
+                id="lamp",
+                type="sphere_light",
+                material_id="sun",
+                position=M.Vec3(3, 5, 2),
+                size=M.Vec3(0.8, 0.8, 0.8),
+            ),
+        ],
+        sky=M.Sky(
+            type="gradient",
+            horizon=M.Color(0.8, 0.85, 1.0),
+            zenith=M.Color(0.3, 0.5, 0.9),
+        ),
+    )
+
+    w = h = 512
+    pack = pack_scene(sc, w, h)
+    n_nodes = pack.bvh.n_nodes
+    print(
+        f"mesh: {pack.n_triangles} triangles, {n_nodes} BVH nodes "
+        f"(dynamic walk: {bvh_mod.use_dynamic_walk(pack.n_triangles)})"
+    )
+    assert pack.n_triangles >= 10_000, "benchmark wants >= 10k triangles"
+
+    # ---- node-visit counts of the packet walk -------------------------
+    rows = 32  # one 4096-lane packet
+    shape = (rows, LANE)
+
+    def tile_rays(tile_x, tile_y):
+        """Camera rays for one 64x64 pixel tile (coherent packet)."""
+        idx = jnp.arange(rows * LANE, dtype=jnp.int32)
+        px = tile_x * 64 + (idx % 64)
+        py = tile_y * 64 + (idx // 64)
+        u = px.astype(jnp.float32) / (w - 1)
+        v = ((h - 1) - py).astype(jnp.float32) / (h - 1)
+        rng = LaneRng(seed_lanes(px, py, jnp.uint32(1)))
+        o, d = camera_rays(
+            u.reshape(shape), v.reshape(shape), pack.cam, w, h, rng, False
+        )
+        return o, d
+
+    def count_visits(o, d):
+        fz = o.x * 0.0
+        iz = fz.astype(jnp.int32)
+        state = dict(
+            best_t=jnp.full(shape, 1e20), best_m=iz, best_type=iz, best_mat=iz,
+            best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz, b_abss=fz,
+            b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+            b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz), nx=fz, ny=fz, nz=fz,
+        )
+        _st, visits = bvh_mod.traverse_triangles_dynamic(
+            o, d, pack, jnp.float32(0.001), state
+        )
+        return visits
+
+    jcount = jax.jit(count_visits)
+
+    total = 0
+    tiles = [(x, y) for x in range(8) for y in range(8)]
+    for tx, ty in tiles:
+        o, d = tile_rays(tx, ty)
+        total += int(jcount(o, d))
+    coherent = total / len(tiles)
+
+    # adversarial: 4096 fully random rays per packet
+    r = np.random.RandomState(11)
+    o = V3(*(jnp.asarray(r.uniform(-3, 3, shape).astype(np.float32)) for _ in range(3)))
+    d = V3(*(jnp.asarray(r.uniform(-1, 1, shape).astype(np.float32)) for _ in range(3))).normalize()
+    incoherent = int(jcount(o, d))
+
+    print(
+        f"node visits per 4096-lane packet: coherent {coherent:.0f} "
+        f"({coherent / n_nodes:.1%} of nodes), incoherent {incoherent} "
+        f"({incoherent / n_nodes:.1%})"
+    )
+
+    # ---- end-to-end render speed --------------------------------------
+    import path_trace_golang_tpu as pt
+
+    renderer = pt.Renderer(contract="gpu", seed=3)
+    cfg = pt.RenderConfig(w, h, 1, 8)
+    renderer.render(sc, cfg)  # warm/compile
+    t0 = time.perf_counter()
+    img = renderer.render(sc, cfg)
+    dt = time.perf_counter() - t0
+    s = renderer.stats
+    print(
+        f"render {w}x{h}@1pass depth 8: {dt:.2f}s, "
+        f"{s.ray_segments / dt / 1e6:.1f} Mrays/s, image mean {img.mean():.1f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
