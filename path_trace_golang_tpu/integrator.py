@@ -583,7 +583,7 @@ def pass_regen_gpu(
         v = (fy + sv) * inv_h
         from .ops.camera import camera_rays
 
-        cam_o, cam_d = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
+        cam_o, cam_d = camera_rays(u, v, pack.cam, width, height, rng, has_aperture, pack.lens_disk)
         orig = V3.where(regen, cam_o, orig)
         dirv = V3.where(regen, cam_d, dirv)
         throughput = V3.where(regen, V3.full(shape, 1.0), throughput)

@@ -14,16 +14,19 @@ layout, chosen by mesh size:
   every leaf's Möller–Trumbore unroll into straight-line VPU code with
   traced-scalar vertices: zero gathers, maximal fusion, but instruction
   count grows with node count (the round-1 128-triangle Pallas cliff).
-* **Dynamic packet walk** (``traverse_triangles_dynamic``, large meshes)
-  — topology lives in i32 tables (SMEM inside Pallas kernels); a
-  ``lax.while_loop`` drives a **global scalar cursor with per-lane
+* **Hybrid dynamic packet walk** (``traverse_triangles_dynamic``, large
+  meshes) — topology lives in tables (VMEM refs inside Pallas kernels);
+  a ``lax.while_loop`` drives a **global scalar cursor with per-lane
   next-node cursors**: each step processes the minimum wanted node over
   the packet, lanes that miss a subtree jump their cursor past it, and
   the global cursor jumps to ``min(per-lane cursors)`` — whole subtrees
   that no lane wants are never visited, making node visits sublinear for
   coherent packets (camera/shadow rays) instead of the unrolled walk's
   O(nodes).  All per-node reads are scalar (node index is the scalar
-  cursor), so there are still ZERO per-lane gathers.
+  cursor), so there are still ZERO per-lane gathers.  Divergent packets
+  whose jump rate falls behind a lockstep frontier switch to a fori tail
+  that sweeps the remaining DFS range with no scalar syncs — bounding
+  the worst case (the jump sync is the dominant per-visit cost, PERF.md).
 """
 
 from __future__ import annotations
@@ -53,11 +56,35 @@ __all__ = [
 
 OBJ_TRIANGLE = 3  # extends the reference's OBJ_* codes (gpu.go:435-437)
 LEAF_SIZE = 4
+# Hybrid-walk jump-phase exit rule.  A global-jump iteration pays a
+# vector->scalar sync for the min-over-lanes cursor (~24us on the XLA
+# path, ~1us inside a Pallas kernel where Mosaic loops are cheap) vs a
+# far cheaper lockstep node step, so jumping pays only while it skips
+# enough nodes per visit.  The jump phase continues while the cursor
+# stays ahead of a min-rate-nodes-per-visit frontier (after a grace
+# period covering the initial root descent); packets that fall behind
+# are divergent, and a lockstep fori tail sweeps their remaining DFS
+# range with no scalar syncs, bounding the worst case (PERF.md round 3).
+# Coherent packets (measured ~45 nodes skipped per visit on the 8k-node
+# benchmark tree) never hit the XLA gate and keep sublinear visits.
+JUMP_MIN_RATE = 32
+JUMP_GRACE = 64
+JUMP_MIN_RATE_KERNEL = 4
+JUMP_GRACE_KERNEL = 512
+
 # Above this triangle count the unrolled walk's instruction budget (and
 # Pallas compile time) stops paying for itself; the dynamic packet walk
 # takes over.  PATHTRACER_BVH_DYNAMIC=1 forces the dynamic walk (tests).
 STATIC_TRI_MAX = 128
 _F = jnp.float32
+
+
+def _jump_gate(table):
+    """(min_rate, grace) for the hybrid walk, by execution context."""
+    aval = getattr(table, "aval", None)
+    if aval is not None and "Ref" in type(aval).__name__:
+        return JUMP_MIN_RATE_KERNEL, JUMP_GRACE_KERNEL
+    return JUMP_MIN_RATE, JUMP_GRACE
 
 
 def use_dynamic_walk(n_triangles: int) -> bool:
@@ -262,74 +289,56 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
 # Dynamic packet traversal (large meshes; Pallas-eligible via SMEM tables)
 # ---------------------------------------------------------------------------
 
-# carry layout for the winner chain (flat tuple of lane grids)
-_STATE_KEYS = (
-    "best_t", "best_m", "best_type", "best_mat", "best_mtyp",
-    "b_rough", "b_ior", "b_smooth", "b_refl", "b_abss",
-)
-_STATE_V3 = ("b_albedo", "b_emit", "b_absorb", "b_tint")
-
-
-def _state_to_tuple(state):
-    flat = [state[k] for k in _STATE_KEYS]
-    for k in _STATE_V3:
-        v = state[k]
-        flat += [v.x, v.y, v.z]
-    flat += [state["nx"], state["ny"], state["nz"]]
-    return tuple(flat)
-
-
-def _tuple_to_state(t):
-    state = {k: t[i] for i, k in enumerate(_STATE_KEYS)}
-    i = len(_STATE_KEYS)
-    for k in _STATE_V3:
-        state[k] = V3(t[i], t[i + 1], t[i + 2])
-        i += 3
-    state["nx"], state["ny"], state["nz"] = t[i], t[i + 1], t[i + 2]
-    return state
-
-
 def _lane_zero_i32(ref):
     """Concrete-layout i32 zeros derived from a lane grid (the Mosaic
     splat-carry workaround — see integrator.pass_regen_gpu)."""
     return (ref * _F(0.0)).astype(jnp.int32)
 
 
-def _desplat_state(state, o: V3):
-    """Route every winner-chain array through an unfoldable add so no
-    while-carry init is a splat constant (Mosaic replicated-layout bug;
-    entries like the triangle normal or the lite-mode material indices
-    reach the walk untouched by the object sweep)."""
-    zero_f = o.x * _F(0.0)
+def _rows_block(table, start, size):
+    """Fetch ``size`` consecutive rows at traced scalar ``start`` with ONE
+    dynamic slice — works on XLA arrays and on Pallas table refs alike
+    (in-kernel refs trace as Tracers whose aval is an AbstractRef, so the
+    discriminator looks at the aval).  The XLA walk is bound by the ~us
+    latency of each scalar-indexed fetch, so leaves read their whole 4x12
+    triangle block in a single slice."""
+    aval = getattr(table, "aval", None)
+    if aval is not None and "Ref" in type(aval).__name__:
+        from jax.experimental import pallas as pl
 
-    def fix(a):
-        if isinstance(a, V3):
-            return V3(fix(a.x), fix(a.y), fix(a.z))
-        if a.dtype == jnp.float32:
-            return a + zero_f
-        return (a.astype(jnp.float32) + zero_f).astype(a.dtype)
-
-    return {k: fix(v) for k, v in state.items()}
+        return table[pl.ds(start, size)]
+    return lax.dynamic_slice(table, (start, jnp.int32(0)), (size, table.shape[1]))
 
 
 def traverse_triangles_dynamic(
     o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
 ):
-    """Packet BVH walk over topology TABLES (pack.bvh_nodes / tri /
-    tri_mat / tri_obj), updating the intersect_world winner chain dict
-    in-place-style (returns the new dict plus the node-visit count).
+    """Packet BVH walk over topology TABLES (pack.bvh_nodes / tri),
+    updating the intersect_world winner chain dict in-place-style
+    (returns the new dict plus the node-visit count).
 
-    Per iteration: one scalar node fetch, one slab test for the packet,
-    LEAF_SIZE masked Möller–Trumbore tests when the node is a leaf, and a
-    global jump to the packet's minimum next-node cursor.  Visits are
-    sublinear in nodes whenever the packet's rays agree on missing
-    subtrees.  Returns (state, visits_i32_scalar).
+    Hybrid traversal (PERF.md round 3).  Jump phase: per step, one
+    scalar node fetch, one slab test for the packet, LEAF_SIZE masked
+    Möller–Trumbore tests when the node is a leaf, and a global jump to
+    the packet's minimum next-node cursor — visits are sublinear in
+    nodes whenever the packet's rays agree on missing subtrees, but each
+    step pays a ~24us vector->scalar sync for the jump.  Packets still
+    walking after MAX_JUMP_VISITS steps are divergent; a lockstep fori
+    tail then sweeps the remaining DFS range with the induction variable
+    as the node index (no scalar syncs, ~0.5us/node), bounding the worst
+    case.
+
+    The while carry holds only the SLIM winner record — (best_t,
+    best_type, best_mat, best_m, geometric normal), 8 lane grids — not
+    the 30-grid full material chain (compile time scales with the carry),
+    and the material constants are recoverable after the
+    walk by one static unrolled select over the material table (same
+    zero-gather trick as the object sweep; the walk's winner material
+    INDEX rides the carry).  Returns (state, visits_i32_scalar).
     """
     nodes = pack.bvh_nodes
     bounds = pack.bvh_bounds
     tri = pack.tri
-    tri_mat = pack.tri_mat
-    tri_obj = pack.tri_obj
     mat = pack.mat
     n_nodes = pack.bvh.n_nodes if pack.bvh is not None else 0
     if n_nodes == 0:
@@ -339,30 +348,46 @@ def traverse_triangles_dynamic(
     inv_dy = _F(1.0) / d.y
     inv_dz = _F(1.0) / d.z
 
-    cursor0 = _lane_zero_i32(o.x)
+    zero_f = o.x * _F(0.0)
+    zero_i = _lane_zero_i32(o.x)
+    slim0 = (
+        state["best_t"] + zero_f,  # desplat (Mosaic replicated-layout bug)
+        state["best_type"] + zero_i,
+        zero_i,  # best_mat (triangle winners only; resolved post-walk)
+        zero_i,  # best_m (global object index of the winning triangle)
+        zero_f,  # nx
+        zero_f,  # ny
+        zero_f,  # nz
+    )
     carry0 = (
         jnp.zeros((), jnp.int32),  # global cursor
         jnp.zeros((), jnp.int32),  # visit count
-        cursor0,  # per-lane next-node cursor
-    ) + _state_to_tuple(_desplat_state(state, o))
+        zero_i,  # per-lane next-node cursor
+    ) + slim0
+
+    jump_rate, jump_grace = _jump_gate(tri)
 
     def cond(carry):
-        return carry[0] < n_nodes
+        n, visits = carry[0], carry[1]
+        ahead = (visits < jump_grace) | (n >= visits * jump_rate)
+        return (n < n_nodes) & ahead
 
-    def body(carry):
-        n, visits, c = carry[0], carry[1], carry[2]
-        st = _tuple_to_state(carry[3:])
-        miss_n = nodes[n, 0]
-        first = nodes[n, 1]
-        count = nodes[n, 2]
+    def _walk_step(n, c, slim):
+        best_t, best_type, best_mat, best_m, nx, ny, nz = slim
+        # one dynamic-slice per table per visit; row indexing after is free
+        node = nodes[n]
+        miss_n = node[0]
+        first = node[1]
+        count = node[2]
+        bb = bounds[n]
 
         active = c == n
-        t1x = (bounds[n, 0] - o.x) * inv_dx
-        t2x = (bounds[n, 3] - o.x) * inv_dx
-        t1y = (bounds[n, 1] - o.y) * inv_dy
-        t2y = (bounds[n, 4] - o.y) * inv_dy
-        t1z = (bounds[n, 2] - o.z) * inv_dz
-        t2z = (bounds[n, 5] - o.z) * inv_dz
+        t1x = (bb[0] - o.x) * inv_dx
+        t2x = (bb[3] - o.x) * inv_dx
+        t1y = (bb[1] - o.y) * inv_dy
+        t2y = (bb[4] - o.y) * inv_dy
+        t1z = (bb[2] - o.z) * inv_dz
+        t2z = (bb[5] - o.z) * inv_dz
         t0 = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -371,16 +396,19 @@ def traverse_triangles_dynamic(
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
-        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 < st["best_t"])
+        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
 
-        # leaf: LEAF_SIZE masked Möller–Trumbore tests (count <= LEAF_SIZE)
+        # leaf: LEAF_SIZE masked Möller–Trumbore tests (count <= LEAF_SIZE);
+        # ONE dynamic slice fetches the whole leaf block (geometry +
+        # material/object indices ride the padded 12-float rows)
         is_leaf = count > 0
+        blk = _rows_block(tri, jnp.where(is_leaf, first, 0), LEAF_SIZE)
         for k in range(LEAF_SIZE):
             in_leaf = is_leaf & (k < count)
-            tri_i = jnp.where(in_leaf, first + k, 0)
-            v0x, v0y, v0z = tri[tri_i, 0], tri[tri_i, 1], tri[tri_i, 2]
-            e1x, e1y, e1z = tri[tri_i, 3], tri[tri_i, 4], tri[tri_i, 5]
-            e2x, e2y, e2z = tri[tri_i, 6], tri[tri_i, 7], tri[tri_i, 8]
+            trow = blk[k]
+            v0x, v0y, v0z = trow[0], trow[1], trow[2]
+            e1x, e1y, e1z = trow[3], trow[4], trow[5]
+            e2x, e2y, e2z = trow[6], trow[7], trow[8]
 
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
@@ -407,62 +435,99 @@ def traverse_triangles_dynamic(
             )
             if t_max is not None:
                 ok = ok & (t <= t_max)
-            obj_idx = tri_obj[tri_i]
+            obj_idx = trow[10].astype(jnp.int32)
             if exclude_obj is not None:
                 ok = ok & (exclude_obj != obj_idx)
-            better = ok & (t < st["best_t"])
+            better = ok & (t < best_t)
 
+            # geometric normal = normalize(e1 x e2) (traced scalars)
             gnx = e1y * e2z - e1z * e2y
             gny = e1z * e2x - e1x * e2z
             gnz = e1x * e2y - e1y * e2x
             glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
 
-            mi = tri_mat[tri_i]
             sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
-            st["best_t"] = sel(t, st["best_t"])
-            st["best_type"] = sel(OBJ_TRIANGLE, st["best_type"])
-            st["best_mtyp"] = sel(pack.mat[mi, 0].astype(jnp.int32), st["best_mtyp"])
-            st["b_emit"] = V3(
-                sel(mat[mi, 8], st["b_emit"].x),
-                sel(mat[mi, 9], st["b_emit"].y),
-                sel(mat[mi, 10], st["b_emit"].z),
-            )
-            st["nx"] = sel(gnx / glen, st["nx"])
-            st["ny"] = sel(gny / glen, st["ny"])
-            st["nz"] = sel(gnz / glen, st["nz"])
-            if not lite:
-                st["best_m"] = sel(obj_idx, st["best_m"])
-                st["best_mat"] = sel(mi, st["best_mat"])
-                st["b_rough"] = sel(mat[mi, 1], st["b_rough"])
-                st["b_ior"] = sel(mat[mi, 2], st["b_ior"])
-                st["b_smooth"] = sel(mat[mi, 3], st["b_smooth"])
-                st["b_refl"] = sel(mat[mi, 7], st["b_refl"])
-                st["b_abss"] = sel(mat[mi, 15], st["b_abss"])
-                st["b_albedo"] = V3(
-                    sel(mat[mi, 4], st["b_albedo"].x),
-                    sel(mat[mi, 5], st["b_albedo"].y),
-                    sel(mat[mi, 6], st["b_albedo"].z),
-                )
-                st["b_absorb"] = V3(
-                    sel(mat[mi, 12], st["b_absorb"].x),
-                    sel(mat[mi, 13], st["b_absorb"].y),
-                    sel(mat[mi, 14], st["b_absorb"].z),
-                )
-                st["b_tint"] = V3(
-                    sel(mat[mi, 16], st["b_tint"].x),
-                    sel(mat[mi, 17], st["b_tint"].y),
-                    sel(mat[mi, 18], st["b_tint"].z),
-                )
+            best_t = sel(t, best_t)
+            best_type = sel(OBJ_TRIANGLE, best_type)
+            best_mat = sel(trow[9].astype(jnp.int32), best_mat)
+            best_m = sel(obj_idx, best_m)
+            nx = sel(gnx / glen, nx)
+            ny = sel(gny / glen, ny)
+            nz = sel(gnz / glen, nz)
 
         # cursor update: hit internal -> descend (n+1); anything else ->
         # escape (miss_n; for a leaf miss_n == n+1 by the DFS invariant)
         c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
+        return c, (best_t, best_type, best_mat, best_m, nx, ny, nz)
+
+    def body(carry):
+        n, visits, c = carry[0], carry[1], carry[2]
+        c, slim = _walk_step(n, c, carry[3:])
         # global jump: the packet's next wanted node (done lanes sit at B)
-        n_next = jnp.min(c)
-        return (n_next, visits + 1, c) + _state_to_tuple(st)
+        return (jnp.min(c), visits + 1, c) + tuple(slim)
 
     out = lax.while_loop(cond, body, carry0)
-    return _tuple_to_state(out[3:]), out[1]
+
+    # Divergent packets exhaust the jump budget; the lockstep tail sweeps
+    # the remaining DFS range with the SAME step body, the induction
+    # variable as the node index, and zero vector->scalar syncs.
+    def tail_body(i, carry):
+        c, slim = carry[0], carry[1:]
+        c, slim = _walk_step(i, c, slim)
+        return (c,) + tuple(slim)
+
+    n_start = out[0]
+    tail = lax.fori_loop(n_start, n_nodes, tail_body, (out[2],) + tuple(out[3:]))
+    visits = out[1] + jnp.maximum(n_nodes - n_start, 0)
+    best_t, best_type, best_mat, best_m, nx, ny, nz = tail[1:]
+
+    # --- post-walk material resolution (zero gathers) ---------------------
+    # Lanes the walk improved carry a triangle winner whose material
+    # constants are selected here by one static unroll over the material
+    # table; all other winner-chain fields pass through untouched.
+    improved = best_type == OBJ_TRIANGLE
+    st = dict(state)
+    st["best_t"] = jnp.where(improved, best_t, state["best_t"])
+    st["best_type"] = jnp.where(improved, best_type, state["best_type"])
+    st["nx"] = jnp.where(improved, nx, state["nx"])
+    st["ny"] = jnp.where(improved, ny, state["ny"])
+    st["nz"] = jnp.where(improved, nz, state["nz"])
+    if not lite:
+        st["best_m"] = jnp.where(improved, best_m, state["best_m"])
+        st["best_mat"] = jnp.where(improved, best_mat, state["best_mat"])
+
+    n_mats = pack.n_materials
+    for mi in range(n_mats):
+        m_mask = improved & (best_mat == mi)
+        msel = lambda a, b: jnp.where(m_mask, a, b)  # noqa: E731
+        st["best_mtyp"] = msel(pack.mat_types[mi], st["best_mtyp"])
+        st["b_emit"] = V3(
+            msel(mat[mi, 8], st["b_emit"].x),
+            msel(mat[mi, 9], st["b_emit"].y),
+            msel(mat[mi, 10], st["b_emit"].z),
+        )
+        if not lite:
+            st["b_rough"] = msel(mat[mi, 1], st["b_rough"])
+            st["b_ior"] = msel(mat[mi, 2], st["b_ior"])
+            st["b_smooth"] = msel(mat[mi, 3], st["b_smooth"])
+            st["b_refl"] = msel(mat[mi, 7], st["b_refl"])
+            st["b_abss"] = msel(mat[mi, 15], st["b_abss"])
+            st["b_albedo"] = V3(
+                msel(mat[mi, 4], st["b_albedo"].x),
+                msel(mat[mi, 5], st["b_albedo"].y),
+                msel(mat[mi, 6], st["b_albedo"].z),
+            )
+            st["b_absorb"] = V3(
+                msel(mat[mi, 12], st["b_absorb"].x),
+                msel(mat[mi, 13], st["b_absorb"].y),
+                msel(mat[mi, 14], st["b_absorb"].z),
+            )
+            st["b_tint"] = V3(
+                msel(mat[mi, 16], st["b_tint"].x),
+                msel(mat[mi, 17], st["b_tint"].y),
+                msel(mat[mi, 18], st["b_tint"].z),
+            )
+    return st, visits
 
 
 def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
@@ -482,25 +547,39 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
     cursor0 = _lane_zero_i32(o.x)
     # blocked rides the carry as i32: Mosaic cannot legalize i1 vectors in
     # scf.while carries; the +cursor0 keeps the init un-splat
-    carry0 = (jnp.zeros((), jnp.int32), cursor0, blocked.astype(jnp.int32) + cursor0)
+    carry0 = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),  # jump-phase visit count
+        cursor0,
+        blocked.astype(jnp.int32) + cursor0,
+    )
+
+    jump_rate, jump_grace = _jump_gate(tri)
 
     def cond(carry):
-        return carry[0] < n_nodes
+        n, visits = carry[0], carry[1]
+        ahead = (visits < jump_grace) | (n >= visits * jump_rate)
+        return (n < n_nodes) & ahead
 
     def body(carry):
-        n, c, blocked_i = carry
-        blocked = blocked_i > 0
-        miss_n = nodes[n, 0]
-        first = nodes[n, 1]
-        count = nodes[n, 2]
+        n, visits, c, blocked_i = carry
+        c, blocked = _walk_step(n, c, blocked_i > 0)
+        return (jnp.min(c), visits + 1, c, blocked.astype(jnp.int32))
+
+    def _walk_step(n, c, blocked):
+        node = nodes[n]  # one row fetch per table per visit
+        miss_n = node[0]
+        first = node[1]
+        count = node[2]
+        bb = bounds[n]
 
         active = (c == n) & ~blocked
-        t1x = (bounds[n, 0] - o.x) * inv_dx
-        t2x = (bounds[n, 3] - o.x) * inv_dx
-        t1y = (bounds[n, 1] - o.y) * inv_dy
-        t2y = (bounds[n, 4] - o.y) * inv_dy
-        t1z = (bounds[n, 2] - o.z) * inv_dz
-        t2z = (bounds[n, 5] - o.z) * inv_dz
+        t1x = (bb[0] - o.x) * inv_dx
+        t2x = (bb[3] - o.x) * inv_dx
+        t1y = (bb[1] - o.y) * inv_dy
+        t2y = (bb[4] - o.y) * inv_dy
+        t1z = (bb[2] - o.z) * inv_dz
+        t2z = (bb[5] - o.z) * inv_dz
         t0 = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -512,12 +591,13 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
         box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 <= t_max)
 
         is_leaf = count > 0
+        blk = _rows_block(tri, jnp.where(is_leaf, first, 0), LEAF_SIZE)
         for k in range(LEAF_SIZE):
             in_leaf = is_leaf & (k < count)
-            tri_i = jnp.where(in_leaf, first + k, 0)
-            v0x, v0y, v0z = tri[tri_i, 0], tri[tri_i, 1], tri[tri_i, 2]
-            e1x, e1y, e1z = tri[tri_i, 3], tri[tri_i, 4], tri[tri_i, 5]
-            e2x, e2y, e2z = tri[tri_i, 6], tri[tri_i, 7], tri[tri_i, 8]
+            trow = blk[k]
+            v0x, v0y, v0z = trow[0], trow[1], trow[2]
+            e1x, e1y, e1z = trow[3], trow[4], trow[5]
+            e2x, e2y, e2z = trow[6], trow[7], trow[8]
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
             pz = d.x * e2y - d.y * e2x
@@ -546,8 +626,15 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
 
         c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
         c = jnp.where(blocked, jnp.int32(n_nodes), c)  # blocked lanes are done
-        n_next = jnp.min(c)
-        return (n_next, c, blocked.astype(jnp.int32))
+        return c, blocked
 
     out = lax.while_loop(cond, body, carry0)
-    return out[2] > 0
+
+    # lockstep tail for divergent packets (see traverse_triangles_dynamic)
+    def tail_body(i, carry):
+        c, blocked_i = carry
+        c, blocked = _walk_step(i, c, blocked_i > 0)
+        return (c, blocked.astype(jnp.int32))
+
+    tail = lax.fori_loop(out[0], n_nodes, tail_body, (out[2], out[3]))
+    return tail[1] > 0

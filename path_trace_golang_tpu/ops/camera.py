@@ -20,11 +20,18 @@ __all__ = ["camera_rays"]
 _F = jnp.float32
 
 
-def camera_rays(u, v, cam_block, width, height, rng: LaneRng, has_aperture: bool):
+def camera_rays(
+    u, v, cam_block, width, height, rng: LaneRng, has_aperture: bool, lens_disk: bool = False
+):
     """Generate primary rays for viewport coords u, v in [0,1] (lane grids).
 
     ``has_aperture`` is static (scene-level) so apertureless scenes skip
     the lens-sample draws entirely, like the shader's lensRadius branch.
+    ``lens_disk`` (static, scene camera ``lens: "disk"``) swaps the
+    reference's faithful unit-*ball* defocus (PHYSICS.md Q4) for a proper
+    thin-lens concentric disk; the draw schedule is identical in both
+    modes (three uniforms, the disk ignores the third) so A/B renders of
+    the two bokeh models differ only in the lens offset itself.
     Returns (orig V3, dir V3 unit).
     """
     aspect = jnp.where(cam_block[15] != 0, cam_block[15], _F(width) / _F(height))
@@ -64,7 +71,11 @@ def camera_rays(u, v, cam_block, width, height, rng: LaneRng, has_aperture: bool
 
     if has_aperture:
         lens_radius = cam_block[13] * _F(0.5)
-        rd = sampling.unit_ball(*rng.next3()) * lens_radius
+        if lens_disk:
+            u1, u2, _u3 = rng.next3()
+            rd = sampling.unit_disk(u1, u2) * lens_radius
+        else:
+            rd = sampling.unit_ball(*rng.next3()) * lens_radius
         offx = rd.x * cux + rd.y * cvx
         offy = rd.x * cuy + rd.y * cvy
         offz = rd.x * cuz + rd.y * cvz

@@ -50,7 +50,7 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
         return False
     if shape[0] % _block_rows(shape, getattr(cfg, "max_depth", 12)) != 0:
         return False
-    if pack.n_triangles > 2048:  # SMEM budget for the BVH tables (bvh.py)
+    if pack.n_triangles > 32768:  # VMEM budget for the BVH tables (bvh.py)
         return False
     if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
         return False
@@ -96,8 +96,6 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         tri_ref,
         bvh_ref,
         bvh_nodes_ref,
-        tri_mat_ref,
-        tri_obj_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -122,8 +120,6 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             tri=tri_ref,
             bvh_bounds=bvh_ref,
             bvh_nodes=bvh_nodes_ref,
-            tri_mat=tri_mat_ref,
-            tri_obj=tri_obj_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -135,6 +131,11 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    # BVH tables live in VMEM (not SMEM): at 12 floats per triangle a
+    # mesh budget of ~32k triangles costs ~4.5 MB — far beyond any SMEM
+    # budget — and the dynamic walk's row fetches at traced scalar
+    # indices lower fine from VMEM
+    vmem_table = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -155,11 +156,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
-            smem(),  # tri
-            smem(),  # bvh_bounds
-            smem(),  # bvh_nodes
-            smem(),  # tri_mat
-            smem(),  # tri_obj
+            vmem_table(),  # tri
+            vmem_table(),  # bvh_bounds
+            vmem_table(),  # bvh_nodes
             lane_in,
             lane_in,
             lane_in,
@@ -186,8 +185,6 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.tri,
         pack.bvh_bounds,
         pack.bvh_nodes,
-        pack.tri_mat,
-        pack.tri_obj,
         orig.x,
         orig.y,
         orig.z,
@@ -244,8 +241,6 @@ def render_pass_pallas(
         tri_ref,
         bvh_ref,
         bvh_nodes_ref,
-        tri_mat_ref,
-        tri_obj_ref,
         seed_ref,
         px_ref,
         py_ref,
@@ -265,8 +260,6 @@ def render_pass_pallas(
             tri=tri_ref,
             bvh_bounds=bvh_ref,
             bvh_nodes=bvh_nodes_ref,
-            tri_mat=tri_mat_ref,
-            tri_obj=tri_obj_ref,
         )
         col, segs = render_mod.pass_body_grid(
             pack_k,
@@ -289,6 +282,11 @@ def render_pass_pallas(
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    # BVH tables live in VMEM (not SMEM): at 12 floats per triangle a
+    # mesh budget of ~32k triangles costs ~4.5 MB — far beyond any SMEM
+    # budget — and the dynamic walk's row fetches at traced scalar
+    # indices lower fine from VMEM
+    vmem_table = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -308,11 +306,9 @@ def render_pass_pallas(
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
-            smem(),  # tri
-            smem(),  # bvh_bounds
-            smem(),  # bvh_nodes
-            smem(),  # tri_mat
-            smem(),  # tri_obj
+            vmem_table(),  # tri
+            vmem_table(),  # bvh_bounds
+            vmem_table(),  # bvh_nodes
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
@@ -334,8 +330,6 @@ def render_pass_pallas(
         pack.tri,
         pack.bvh_bounds,
         pack.bvh_nodes,
-        pack.tri_mat,
-        pack.tri_obj,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,

@@ -17,6 +17,7 @@ from .vec import V3
 __all__ = [
     "sincos_2pi",
     "unit_ball",
+    "unit_disk",
     "cosine_direction",
     "cosine_direction_onb",
     "sphere_surface",
@@ -78,6 +79,18 @@ def unit_ball(u1, u2, u3) -> V3:
     # ~1e-10 radius instead of 0 — inconsequential for the lens offset
     rad = jnp.exp(jnp.log(jnp.maximum(u3, _F(1e-30))) * _F(1.0 / 3.0))
     return V3(r * cos_phi * rad, r * sin_phi * rad, z * rad)
+
+
+def unit_disk(u1, u2) -> V3:
+    """Uniform point on the unit disk (z = 0), closed form.
+
+    The thin-lens alternative to the reference's unit-*ball* defocus
+    (scene camera ``lens: "disk"``, PHYSICS.md Q4): r = sqrt(u), the
+    textbook area-uniform disk sample.
+    """
+    r = jnp.sqrt(u1)
+    sin_phi, cos_phi = sincos_2pi(u2)
+    return V3(r * cos_phi, r * sin_phi, jnp.zeros_like(u1))
 
 
 def cosine_direction(normal: V3, u1, u2) -> V3:

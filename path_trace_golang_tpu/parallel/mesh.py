@@ -28,6 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..integrator import TraceConfig, trace_config_for_scene
+from .. import render as render_mod
 from ..render import RenderConfig, RenderStats, trace_pass_lanes
 from ..post import finalize_cpu_contract, finalize_gpu_contract
 from ..scene.model import Scene
@@ -276,7 +277,9 @@ class MeshRenderer:
                 normalize_pass=self.normalize_pass,
                 n_pad=n_pad,
                 n_passes=window,
-                chunk=self.chunk,
+                # dynamic-walk scenes cap the per-trace lane count (libtpu
+                # fault above ~1536x128 lanes — see render.max_chunk_lanes)
+                chunk=min(self.chunk or (1 << 62), render_mod.max_chunk_lanes(sc)),
             )
             total_segs = total_segs + segs.astype(jnp.float32)
             completed = d + 1

@@ -67,6 +67,30 @@ _backend = BACKEND_CPU
 FOG_STREAM_XOR = 0x9E3779B9
 
 
+def max_chunk_lanes(sc: Scene) -> int:
+    """Per-dispatch lane cap for this scene.
+
+    Scenes whose triangle count routes to the hybrid dynamic BVH walk
+    (ops/bvh.py) are capped at 512 rows per dispatch: the walk's
+    worst-case time per dispatch is bounded (jump budget + lockstep
+    tail, PERF.md round 3) but scales with rows through the tail's
+    vector work — 512 rows keeps a pathological dispatch in the ~20 s
+    range, safely under the tunnel/runtime RPC deadline that kills the
+    worker ("TPU worker process crashed", how this surfaced), while
+    amortizing the jump phase's per-packet scalar syncs over as many
+    lanes as possible."""
+    from .ops import bvh as bvh_mod
+
+    n_tris = sum(
+        (1 if o.type == "triangle" else len((o.mesh or {}).get("faces", ())))
+        for o in sc.objects
+        if o.type in ("triangle", "mesh")
+    )
+    if n_tris and bvh_mod.use_dynamic_walk(n_tris):
+        return 512 * 128
+    return 1 << 62
+
+
 def set_backend(b: str) -> None:
     global _backend
     if b not in (BACKEND_CPU, BACKEND_GPU):
@@ -173,7 +197,7 @@ def pass_body_grid(
             jy = rng0.next()
             u0 = (pxf + jx) * inv_w
             v0 = (fy + jy) * inv_h
-            fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture)
+            fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture, pack.lens_disk)
             fog_rad, _fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
             col_pre = col_pre + fog_rad * _F(samples)
         if active is not None:
@@ -224,7 +248,7 @@ def pass_body_grid(
             su, sv = jx, jy
         u = (pxf + su) * inv_w
         v = (fy + sv) * inv_h
-        orig, dirv = camera_rays(u, v, pack.cam, width, height, rng, has_aperture)
+        orig, dirv = camera_rays(u, v, pack.cam, width, height, rng, has_aperture, pack.lens_disk)
         rad, new_state, seg = trace_fn(orig, dirv, rng.state)
         return new_state, col + rad, segs + seg
 
@@ -412,9 +436,16 @@ class Renderer:
         t0 = time.perf_counter()
         w, h = cfg.width, cfg.height
         n = w * h
-        chunk = min(self.chunk, max(n, 1))
+        lane_cap = max_chunk_lanes(sc)
+        chunk = min(self.chunk, max(n, 1), lane_cap)
         n_chunks = -(-n // chunk)
         n_pad = n_chunks * chunk
+        # Dynamic-walk scenes also sync per dispatch: queueing many
+        # multi-second walk dispatches makes the next host sync block for
+        # minutes, which trips the tunnel/runtime RPC deadline and kills
+        # the worker (PERF.md round 3); one ~0.25 ms sync per dispatch is
+        # noise next to the walks themselves.
+        sync_each_chunk = lane_cap < (1 << 62)
 
         pack = pack_scene(sc, w, h)
         tcfg = trace_config_for_scene(
@@ -518,6 +549,8 @@ class Renderer:
                     n_passes=nw,
                 )
                 total_segs = total_segs + segs.astype(jnp.float32)
+                if sync_each_chunk:
+                    jax.block_until_ready(accum)
             p += nw
             completed = p
             if (p % update_every) < nw or p == passes:

@@ -95,9 +95,15 @@ class Camera:
     aperture: float = 0.0
     focus_dist: float = 0.0
     aspect_ratio: float = 0.0
+    # Extension (not in the reference): defocus sampling model.  "ball"
+    # keeps the reference's unit-*ball* bokeh quirk (camera.go:62,
+    # gpu.go:1113 — PHYSICS.md Q4); "disk" samples a proper thin-lens
+    # concentric disk.  Serialized only when non-default so reference
+    # scene files round-trip byte-identically.
+    lens: str = "ball"
 
     def to_json(self) -> Dict[str, Any]:
-        return {
+        d = {
             "position": self.position.to_json(),
             "target": self.target.to_json(),
             "up": self.up.to_json(),
@@ -106,6 +112,9 @@ class Camera:
             "focus_dist": self.focus_dist,
             "aspect_ratio": self.aspect_ratio,
         }
+        if self.lens != "ball":
+            d["lens"] = self.lens
+        return d
 
     @classmethod
     def from_json(cls, d: Optional[Dict[str, Any]]) -> "Camera":
@@ -118,6 +127,7 @@ class Camera:
             aperture=float(d.get("aperture", 0.0)),
             focus_dist=float(d.get("focus_dist", 0.0)),
             aspect_ratio=float(d.get("aspect_ratio", 0.0)),
+            lens=str(d.get("lens", "ball")),
         )
 
 

@@ -102,18 +102,20 @@ class ScenePack:
     light_objs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     mat_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     # --- triangle-mesh extension (BASELINE.json north star) ---
-    # tri rows are in BVH order: [v0.xyz, e1.xyz, e2.xyz]
-    tri: Optional[jax.Array] = None  # f32[max(T,1), 9]
+    # tri rows are in BVH order, padded by LEAF_SIZE zero rows:
+    # [v0.xyz, e1.xyz, e2.xyz, mat_idx, obj_idx, pad] (indices as exact
+    # small floats so one row fetch serves the whole leaf test)
+    tri: Optional[jax.Array] = None  # f32[max(T,1)+LEAF_SIZE, 12]
     bvh_bounds: Optional[jax.Array] = None  # f32[max(B,1), 6]
     n_triangles: int = dataclasses.field(default=0, metadata=dict(static=True))
     tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
     # dynamic-walk topology tables (bvh.py traverse_triangles_dynamic):
-    # per node [miss, first, count]; per BVH-ordered triangle its material
-    # index and global object index (= n_objects + original triangle id)
+    # per node [miss, first, count]
     bvh_nodes: Optional[jax.Array] = None  # i32[max(B,1), 3]
-    tri_mat: Optional[jax.Array] = None  # i32[max(T,1)]
-    tri_obj: Optional[jax.Array] = None  # i32[max(T,1)]
+    # defocus model (scene camera extension, PHYSICS.md Q4): False =
+    # reference's faithful unit-ball bokeh, True = thin-lens disk
+    lens_disk: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     # ---- unpacked views used by the kernels (cheap in-jit slices) ----
     @property
@@ -341,28 +343,31 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         e1 = np.asarray(tri_e1)
         e2 = np.asarray(tri_e2)
         topo, bvh_bounds = build_bvh(v0, e1, e2)
-        tri_rows = np.zeros((t_count, 9), np.float32)
+        from .ops.bvh import LEAF_SIZE
+
+        # One 12-float row per BVH-ordered triangle holds EVERYTHING a
+        # leaf visit needs — geometry (v0, e1, e2), material index and
+        # global object index as exact small floats — so the dynamic
+        # packet walk fetches a whole leaf with ONE dynamic slice (the
+        # walk is bound by the latency of scalar-indexed fetches, PERF.md
+        # round 3).  LEAF_SIZE zero rows of padding keep the slice
+        # in-bounds for the last leaf.
+        tri_rows = np.zeros((t_count + LEAF_SIZE, 12), np.float32)
         for bvh_i, orig in enumerate(topo.order):
             tri_rows[bvh_i, 0:3] = v0[orig]
             tri_rows[bvh_i, 3:6] = e1[orig]
             tri_rows[bvh_i, 6:9] = e2[orig]
+            tri_rows[bvh_i, 9] = float(tri_mat_list[orig])
+            tri_rows[bvh_i, 10] = float(o_count + orig)
         bvh_nodes = np.stack(
             [np.asarray(topo.miss), np.asarray(topo.first), np.asarray(topo.count)],
             axis=-1,
         ).astype(np.int32)
-        tri_mat_bvh = np.asarray(
-            [tri_mat_list[orig] for orig in topo.order], np.int32
-        )
-        tri_obj_bvh = np.asarray(
-            [o_count + orig for orig in topo.order], np.int32
-        )
     else:
         topo = None
         bvh_bounds = np.zeros((1, 6), np.float32)
-        tri_rows = np.zeros((1, 9), np.float32)
+        tri_rows = np.zeros((1, 12), np.float32)
         bvh_nodes = np.zeros((1, 3), np.int32)
-        tri_mat_bvh = np.zeros((1,), np.int32)
-        tri_obj_bvh = np.zeros((1,), np.int32)
 
     return ScenePack(
         mat=jax.numpy.asarray(mat),
@@ -384,6 +389,5 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         tri_mats=tuple(tri_mat_list),
         bvh=topo,
         bvh_nodes=jax.numpy.asarray(bvh_nodes),
-        tri_mat=jax.numpy.asarray(tri_mat_bvh),
-        tri_obj=jax.numpy.asarray(tri_obj_bvh),
+        lens_disk=(getattr(sc.camera, "lens", "ball") == "disk"),
     )

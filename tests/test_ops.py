@@ -263,6 +263,47 @@ def test_unit_ball_distribution():
     assert abs(rad.mean() - 0.75) < 0.01
 
 
+def test_unit_disk_distribution():
+    n = 20000
+    r = _uniforms(n, seed=6)
+    p = np.asarray(sampling.unit_disk(r.next(), r.next()).to_rows())
+    assert np.abs(p[:, 2]).max() == 0.0  # planar
+    rad = np.linalg.norm(p[:, :2], axis=1)
+    assert rad.max() <= 1.0 + 1e-5
+    # E[r] for an area-uniform disk = 2/3
+    assert abs(rad.mean() - 2 / 3) < 0.01
+
+
+def test_lens_disk_camera_differs_from_ball():
+    """Scene camera lens="disk" swaps the bokeh model (PHYSICS.md Q4):
+    same rng stream, different lens offsets, same number of draws."""
+    import jax.numpy as jnp
+
+    from path_trace_golang_tpu.ops.camera import camera_rays
+    from path_trace_golang_tpu.ops.rng import LaneRng, seed_lanes
+    from path_trace_golang_tpu.scene.builtin import demo_cornell
+    from path_trace_golang_tpu.soa import pack_scene
+
+    sc = demo_cornell()
+    sc.camera.aperture = 0.3
+    pack_ball = pack_scene(sc, 32, 24)
+    sc.camera.lens = "disk"
+    pack_disk = pack_scene(sc, 32, 24)
+    assert pack_ball.lens_disk is False and pack_disk.lens_disk is True
+
+    px = jnp.arange(128, dtype=jnp.uint32).reshape(1, 128)
+    u = px.astype(jnp.float32) / 127.0
+    v = jnp.full((1, 128), 0.5, jnp.float32)
+
+    r1 = LaneRng(seed_lanes(px, px, jnp.uint32(1)))
+    o_ball, _ = camera_rays(u, v, pack_ball.cam, 32, 24, r1, True, False)
+    r2 = LaneRng(seed_lanes(px, px, jnp.uint32(1)))
+    o_disk, _ = camera_rays(u, v, pack_disk.cam, 32, 24, r2, True, True)
+    # identical draw schedule, different offsets
+    assert (np.asarray(r1.state) == np.asarray(r2.state)).all()
+    assert np.abs(np.asarray(o_ball.x) - np.asarray(o_disk.x)).max() > 1e-6
+
+
 def test_sphere_surface_uniform():
     n = 20000
     r = _uniforms(n, seed=9)

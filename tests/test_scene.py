@@ -56,6 +56,19 @@ def test_reference_scene_roundtrip(name):
     assert sc2 == sc
 
 
+def test_camera_lens_field_roundtrip():
+    """lens="disk" survives save/load; the default "ball" is omitted from
+    the JSON so reference files stay byte-compatible."""
+    sc = S.Scene(camera=S.Camera(lens="disk"))
+    text = S.dumps(sc)
+    assert '"lens": "disk"' in text
+    assert S.loads(text).camera.lens == "disk"
+
+    sc_default = S.Scene()
+    assert '"lens"' not in S.dumps(sc_default)
+    assert S.loads(S.dumps(sc_default)).camera.lens == "ball"
+
+
 def test_known_scene_stats():
     """Spot-check parsed structure against SURVEY.md §6 ground truth."""
     path = os.path.join(REF_SCENES, "gpu_showcase.json")

@@ -1,15 +1,18 @@
-"""BVH scaling benchmark: >=10k-triangle mesh through the dynamic packet walk.
+"""BVH scaling benchmark: >=10k-triangle mesh through the hybrid walk.
 
 VERDICT round-1 item 6 asked for evidence that the BVH traversal scales
 past the unrolled O(nodes) walk: this benchmark builds a ~10k-triangle UV
--sphere mesh (far above the 128-triangle static-unroll cliff and the 2k
-Pallas SMEM budget), renders it end-to-end on the XLA path, and measures
-the dynamic packet walk's node-visit counts directly:
+-sphere mesh (far above the 128-triangle static-unroll cliff), renders it
+end-to-end (the Pallas kernel holds the BVH tables in VMEM at this size),
+and measures the hybrid walk's node-visit counts directly:
 
-* coherent packets (camera rays of one tile) must visit a small fraction
-  of the tree — the global-jump cursor skips subtrees no lane wants;
-* incoherent packets (random rays) are the adversarial case and bound
-  the walk from above (worst case ~n_nodes, the lockstep-walk cost).
+* coherent packets (camera rays of one tile) stay in the jump phase and
+  visit a small fraction of the tree — the global-jump cursor skips
+  subtrees no lane wants;
+* incoherent packets (random rays) fall behind the jump phase's
+  break-even rate and finish on the sync-free lockstep tail, so their
+  count approaches n_nodes — the bounded worst case, by design
+  (PERF.md round 3).
 
 Usage: python tools/perf/bvh_bench.py [n_lat] [n_lon]
 Defaults build 2*80*64 = 10,240 triangles.
