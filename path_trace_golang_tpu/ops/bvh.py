@@ -268,14 +268,26 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
                     & (u + v <= 1)
                     & (t >= t_min)
                 )
-                # geometric normal = normalize(e1 x e2) (traced scalars)
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-                glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
-                nx, ny, nz = gnx / glen, gny / glen, gnz / glen
-
                 orig_tri = topo.order[bvh_i]
+                if pack.tri_smooth and pack.tri_smooth[orig_tri]:
+                    # smooth shading: interpolate the (static scalar)
+                    # vertex normals by the hit barycentrics
+                    w0 = _F(1.0) - u - v
+                    nx = w0 * tri[bvh_i, 12] + u * tri[bvh_i, 15] + v * tri[bvh_i, 18]
+                    ny = w0 * tri[bvh_i, 13] + u * tri[bvh_i, 16] + v * tri[bvh_i, 19]
+                    nz = w0 * tri[bvh_i, 14] + u * tri[bvh_i, 17] + v * tri[bvh_i, 20]
+                    nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, _F(1e-30)))
+                    nx, ny, nz = nx / nlen, ny / nlen, nz / nlen
+                else:
+                    # geometric normal = normalize(e1 x e2) (traced scalars)
+                    gnx = e1y * e2z - e1z * e2y
+                    gny = e1z * e2x - e1x * e2z
+                    gnz = e1x * e2y - e1y * e2x
+                    glen = jnp.sqrt(
+                        jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30))
+                    )
+                    nx, ny, nz = gnx / glen, gny / glen, gnz / glen
+
                 tri_obj_idx = pack.n_objects + orig_tri
                 if exclude_obj is not None:
                     ok = ok & (exclude_obj != tri_obj_idx)
@@ -445,15 +457,27 @@ def traverse_triangles_dynamic(
             gny = e1z * e2x - e1x * e2z
             gnz = e1x * e2y - e1y * e2x
             glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
+            cnx, cny, cnz = gnx / glen, gny / glen, gnz / glen
+            # smooth shading (row flag col 11): interpolate vertex normals
+            # (cols 12-20) by the hit barycentrics
+            smooth = trow[11] > _F(0.5)
+            w0 = _F(1.0) - u - v
+            sx = w0 * trow[12] + u * trow[15] + v * trow[18]
+            sy = w0 * trow[13] + u * trow[16] + v * trow[19]
+            sz = w0 * trow[14] + u * trow[17] + v * trow[20]
+            slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
+            cnx = jnp.where(smooth, sx / slen, cnx)
+            cny = jnp.where(smooth, sy / slen, cny)
+            cnz = jnp.where(smooth, sz / slen, cnz)
 
             sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
             best_t = sel(t, best_t)
             best_type = sel(OBJ_TRIANGLE, best_type)
             best_mat = sel(trow[9].astype(jnp.int32), best_mat)
             best_m = sel(obj_idx, best_m)
-            nx = sel(gnx / glen, nx)
-            ny = sel(gny / glen, ny)
-            nz = sel(gnz / glen, nz)
+            nx = sel(cnx, nx)
+            ny = sel(cny, ny)
+            nz = sel(cnz, nz)
 
         # cursor update: hit internal -> descend (n+1); anything else ->
         # escape (miss_n; for a leaf miss_n == n+1 by the DFS invariant)

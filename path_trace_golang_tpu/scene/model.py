@@ -211,6 +211,9 @@ class Object:
       ``{"vertices": [[x,y,z], ...], "faces": [[i,j,k], ...]}``;
       ``position`` translates and nonzero ``size`` components scale the
       mesh.  Meshes are intersected through a BVH (ops/bvh.py).
+      Optional ``"smooth": true`` shades with area-weighted vertex
+      normals interpolated by the hit barycentrics instead of flat
+      face normals.
     """
 
     id: str = ""

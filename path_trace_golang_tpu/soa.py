@@ -103,12 +103,15 @@ class ScenePack:
     mat_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     # --- triangle-mesh extension (BASELINE.json north star) ---
     # tri rows are in BVH order, padded by LEAF_SIZE zero rows:
-    # [v0.xyz, e1.xyz, e2.xyz, mat_idx, obj_idx, pad] (indices as exact
-    # small floats so one row fetch serves the whole leaf test)
-    tri: Optional[jax.Array] = None  # f32[max(T,1)+LEAF_SIZE, 12]
+    # [v0.xyz, e1.xyz, e2.xyz, mat_idx, obj_idx, smooth_flag,
+    #  n0.xyz, n1.xyz, n2.xyz, pad.xyz] (indices as exact small floats so
+    # one row fetch serves the whole leaf test; n0-n2 are the vertex
+    # normals smooth-shaded meshes interpolate by barycentrics)
+    tri: Optional[jax.Array] = None  # f32[max(T,1)+LEAF_SIZE, 24]
     bvh_bounds: Optional[jax.Array] = None  # f32[max(B,1), 6]
     n_triangles: int = dataclasses.field(default=0, metadata=dict(static=True))
     tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    tri_smooth: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
     # dynamic-walk topology tables (bvh.py traverse_triangles_dynamic):
     # per node [miss, first, count]
@@ -311,6 +314,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
 
     # --- triangles / meshes -> BVH (extension) ---
     tri_v0, tri_e1, tri_e2, tri_mat_list = [], [], [], []
+    tri_smooth_list, tri_vn = [], []  # per-tri smooth flag / vertex normals
     for o in sc.objects:
         midx = mat_index.get(o.material_id, 0)
         if o.type == "triangle" and o.vertices and len(o.vertices) >= 3:
@@ -319,6 +323,8 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             tri_e1.append(b - a)
             tri_e2.append(c - a)
             tri_mat_list.append(midx)
+            tri_smooth_list.append(False)
+            tri_vn.append(None)
         elif o.type == "mesh" and o.mesh:
             verts = np.asarray(o.mesh.get("vertices", []), np.float64)
             faces = np.asarray(o.mesh.get("faces", []), np.int64)
@@ -328,12 +334,30 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 [s if s != 0 else 1.0 for s in o.size.as_tuple()], np.float64
             )
             verts = verts * scale + np.array(o.position.as_tuple(), np.float64)
+            smooth = bool(o.mesh.get("smooth", False))
+            vert_n = None
+            if smooth:
+                # area-weighted vertex normals: sum of adjacent faces'
+                # unnormalized cross products, normalized per vertex
+                vert_n = np.zeros_like(verts)
+                for f in faces:
+                    a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
+                    fn = np.cross(b - a, c - a)
+                    vert_n[f[0]] += fn
+                    vert_n[f[1]] += fn
+                    vert_n[f[2]] += fn
+                norms = np.linalg.norm(vert_n, axis=1, keepdims=True)
+                vert_n = vert_n / np.maximum(norms, 1e-20)
             for f in faces:
                 a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
                 tri_v0.append(a)
                 tri_e1.append(b - a)
                 tri_e2.append(c - a)
                 tri_mat_list.append(midx)
+                tri_smooth_list.append(smooth)
+                tri_vn.append(
+                    (vert_n[f[0]], vert_n[f[1]], vert_n[f[2]]) if smooth else None
+                )
 
     t_count = len(tri_v0)
     if t_count:
@@ -352,13 +376,19 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         # walk is bound by the latency of scalar-indexed fetches, PERF.md
         # round 3).  LEAF_SIZE zero rows of padding keep the slice
         # in-bounds for the last leaf.
-        tri_rows = np.zeros((t_count + LEAF_SIZE, 12), np.float32)
+        tri_rows = np.zeros((t_count + LEAF_SIZE, 24), np.float32)
         for bvh_i, orig in enumerate(topo.order):
             tri_rows[bvh_i, 0:3] = v0[orig]
             tri_rows[bvh_i, 3:6] = e1[orig]
             tri_rows[bvh_i, 6:9] = e2[orig]
             tri_rows[bvh_i, 9] = float(tri_mat_list[orig])
             tri_rows[bvh_i, 10] = float(o_count + orig)
+            if tri_smooth_list[orig]:
+                n0, n1, n2 = tri_vn[orig]
+                tri_rows[bvh_i, 11] = 1.0
+                tri_rows[bvh_i, 12:15] = n0
+                tri_rows[bvh_i, 15:18] = n1
+                tri_rows[bvh_i, 18:21] = n2
         bvh_nodes = np.stack(
             [np.asarray(topo.miss), np.asarray(topo.first), np.asarray(topo.count)],
             axis=-1,
@@ -366,7 +396,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     else:
         topo = None
         bvh_bounds = np.zeros((1, 6), np.float32)
-        tri_rows = np.zeros((1, 12), np.float32)
+        tri_rows = np.zeros((1, 24), np.float32)
         bvh_nodes = np.zeros((1, 3), np.int32)
 
     return ScenePack(
@@ -387,6 +417,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         bvh_bounds=jax.numpy.asarray(bvh_bounds),
         n_triangles=t_count,
         tri_mats=tuple(tri_mat_list),
+        tri_smooth=tuple(tri_smooth_list),
         bvh=topo,
         bvh_nodes=jax.numpy.asarray(bvh_nodes),
         lens_disk=(getattr(sc.camera, "lens", "ball") == "disk"),
