@@ -168,6 +168,7 @@ class MeshRenderer:
         faithful_fog: bool = False,
         chunk: int = 0,
         checkpoint_path: Optional[str] = None,
+        checkpoint_keep: Optional[int] = None,
     ):
         import os
 
@@ -180,6 +181,9 @@ class MeshRenderer:
         self.checkpoint_path = checkpoint_path or os.environ.get(
             "PATHTRACER_CHECKPOINT", ""
         ) or None
+        if checkpoint_keep is None:
+            checkpoint_keep = int(os.environ.get("PATHTRACER_CHECKPOINT_KEEP", "0") or 0)
+        self.checkpoint_keep = checkpoint_keep
         self.stats = RenderStats()
 
     def render(
@@ -297,6 +301,7 @@ class MeshRenderer:
                             width=w,
                             height=h,
                         ),
+                        keep=self.checkpoint_keep,
                     )
                 if progress is not None:
                     progress(done_passes, self._finalize(accum, done_passes, w, h, n, preview=True))

@@ -393,6 +393,7 @@ class Renderer:
         seed: int = 1,
         faithful_fog: Optional[bool] = None,
         checkpoint_path: Optional[str] = None,
+        checkpoint_keep: Optional[int] = None,
         metrics_sink=None,
     ):
         self.contract = contract
@@ -403,6 +404,9 @@ class Renderer:
             faithful_fog = os.environ.get("PATHTRACER_FAITHFUL_FOG", "") in ("1", "true", "on")
         self.faithful_fog = faithful_fog
         self.checkpoint_path = checkpoint_path or os.environ.get("PATHTRACER_CHECKPOINT", "") or None
+        if checkpoint_keep is None:
+            checkpoint_keep = int(os.environ.get("PATHTRACER_CHECKPOINT_KEEP", "0") or 0)
+        self.checkpoint_keep = checkpoint_keep
         self.metrics_sink = metrics_sink
         self.stats = RenderStats()
 
@@ -567,6 +571,7 @@ class Renderer:
                             width=w,
                             height=h,
                         ),
+                        keep=self.checkpoint_keep,
                     )
                 if progress is not None:
                     progress(p, np.asarray(preview_image(accum, p)))

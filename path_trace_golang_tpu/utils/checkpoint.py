@@ -19,7 +19,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["Checkpoint", "scene_digest", "save_checkpoint", "load_checkpoint"]
+__all__ = [
+    "Checkpoint",
+    "scene_digest",
+    "save_checkpoint",
+    "load_checkpoint",
+    "rotate_checkpoints",
+]
 
 FORMAT_VERSION = 1
 
@@ -60,7 +66,28 @@ def scene_digest(sc, cfg, contract: str, normalize_pass: bool, samples: int) -> 
     return h.hexdigest()
 
 
-def save_checkpoint(path: str, ckpt: Checkpoint) -> None:
+def rotate_checkpoints(path: str, keep: int) -> None:
+    """Shift ``path`` into a ``.1 .. .keep`` rotation (``.keep`` dropped).
+
+    Called before each overwrite when ``PATHTRACER_CHECKPOINT_KEEP`` (or
+    ``Renderer(checkpoint_keep=...)``) is > 0, so a corrupted final write
+    (power loss mid-rename is already impossible — saves are atomic — but
+    a *logically* bad state, e.g. a scene edited mid-render, is not)
+    leaves older generations to resume from."""
+    if keep <= 0 or not os.path.exists(path):
+        return
+    oldest = f"{path}.{keep}"
+    if os.path.exists(oldest):
+        os.remove(oldest)
+    for i in range(keep - 1, 0, -1):
+        src = f"{path}.{i}"
+        if os.path.exists(src):
+            os.replace(src, f"{path}.{i + 1}")
+    os.replace(path, f"{path}.1")
+
+
+def save_checkpoint(path: str, ckpt: Checkpoint, keep: int = 0) -> None:
+    rotate_checkpoints(path, keep)
     tmp = f"{path}.tmp"
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,

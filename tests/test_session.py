@@ -118,6 +118,34 @@ def test_session_debounce_coalesces():
     assert s.last_preview is not None
 
 
+def test_checkpoint_rotation(tmp_path):
+    """keep=N shifts prior checkpoints into .1...N before each save; the
+    oldest generation falls off the end."""
+    import os
+
+    path = str(tmp_path / "r.ckpt")
+    for p_i in (1, 2, 3, 4):
+        accum = np.full((4, 3), float(p_i), np.float32)
+        ck.save_checkpoint(
+            path,
+            ck.Checkpoint(accum, passes=p_i, seed=7, digest="d", width=2, height=2),
+            keep=2,
+        )
+    assert ck.load_checkpoint(path).passes == 4
+    assert ck.load_checkpoint(path + ".1").passes == 3
+    assert ck.load_checkpoint(path + ".2").passes == 2
+    assert not os.path.exists(path + ".3")
+
+    # keep=0 (default) rotates nothing
+    single = str(tmp_path / "s.ckpt")
+    for p_i in (1, 2):
+        ck.save_checkpoint(
+            single,
+            ck.Checkpoint(np.zeros((4, 3), np.float32), passes=p_i, seed=1, digest="d", width=2, height=2),
+        )
+    assert not os.path.exists(single + ".1")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "r.ckpt")
     accum = np.random.default_rng(0).random((64, 3)).astype(np.float32)
