@@ -27,6 +27,7 @@ CASES = [
     ("gpu_showcase", 800, 450, 24, 12),
     ("demo_cornell", 512, 512, 24, 12),
     ("demo_showcase", 800, 450, 24, 12),
+    ("demo_mesh", 800, 450, 24, 8),
 ]
 
 

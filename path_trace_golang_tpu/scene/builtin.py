@@ -16,7 +16,14 @@ from typing import List, Optional
 
 from .model import Camera, Color, Fog, Material, Object, RenderSettings, Scene, Sky, Vec3
 
-__all__ = ["find_scene", "reference_scene_names", "demo_cornell", "demo_showcase", "builtin_scene"]
+__all__ = [
+    "find_scene",
+    "reference_scene_names",
+    "demo_cornell",
+    "demo_showcase",
+    "demo_mesh",
+    "builtin_scene",
+]
 
 _DEFAULT_DIRS = (
     os.environ.get("PATHTRACER_SCENES_DIR", ""),
@@ -56,6 +63,8 @@ def builtin_scene(name: str) -> Optional[Scene]:
         return demo_cornell()
     if name in ("demo_showcase", "showcase"):
         return demo_showcase()
+    if name in ("demo_mesh", "mesh"):
+        return demo_mesh()
     return None
 
 
@@ -94,6 +103,73 @@ def _icosahedron(id, material_id, pos=(0, 0, 0), scale=1.0):
         position=Vec3(*pos),
         size=Vec3(scale, scale, scale),
         mesh={"vertices": verts, "faces": faces},
+    )
+
+
+def _uv_sphere_mesh(id, material_id, pos=(0, 0, 0), scale=1.0, n_lat=16, n_lon=24, smooth=True):
+    """UV-sphere mesh (2*n_lat*n_lon triangles) exercising the hybrid
+    dynamic BVH walk and smooth vertex-normal shading."""
+    import math
+
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append(
+                [math.sin(th) * math.cos(ph), math.cos(th), math.sin(th) * math.sin(ph)]
+            )
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return Object(
+        id=id,
+        type="mesh",
+        material_id=material_id,
+        position=Vec3(*pos),
+        size=Vec3(scale, scale, scale),
+        mesh={"vertices": verts, "faces": faces, "smooth": smooth},
+    )
+
+
+def demo_mesh() -> Scene:
+    """Mesh showcase (original): a smooth-shaded 768-triangle UV sphere
+    and a flat-shaded icosahedron over a checker-free floor, one area
+    light, gradient sky, thin-lens disk bokeh — the triangle/BVH
+    north-star extension end-to-end (hybrid dynamic walk + vertex-normal
+    interpolation + lens="disk")."""
+    return Scene(
+        name="demo_mesh",
+        camera=Camera(
+            position=Vec3(0.0, 1.6, 4.2),
+            target=Vec3(0.0, 0.9, 0.0),
+            fov=48.0,
+            aperture=0.08,
+            lens="disk",
+        ),
+        materials=[
+            _m("floor", "lambert", albedo=(0.4, 0.4, 0.45)),
+            _m("silver", "metal", albedo=(0.85, 0.86, 0.9), smoothness=0.75),
+            _m("clay", "lambert", albedo=(0.75, 0.45, 0.3)),
+            _m("sun", "emissive", emit=(1.0, 0.95, 0.85), power=4.0),
+        ],
+        objects=[
+            _o("ground", "plane", (0, 0, 0), material_id="floor"),
+            _uv_sphere_mesh("blob", "silver", pos=(-0.75, 1.0, 0.0), scale=1.0),
+            _icosahedron("ico", "clay", pos=(1.15, 0.62, 0.6), scale=0.62),
+            _o("lamp", "sphere_light", (2.4, 4.2, 2.2), size=(0.7, 0.7, 0.7), material_id="sun"),
+        ],
+        sky=Sky(
+            type="gradient",
+            horizon=Color(0.16, 0.17, 0.2),
+            zenith=Color(0.02, 0.04, 0.09),
+        ),
+        settings=RenderSettings(width=480, height=270, samples_per_px=4, max_depth=8),
     )
 
 

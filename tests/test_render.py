@@ -106,10 +106,10 @@ def test_png_fallback_encoder(tmp_path):
 
 
 def test_builtin_scenes_construct():
-    for name in ("demo_cornell", "demo_showcase"):
+    for name in ("demo_cornell", "demo_showcase", "demo_mesh"):
         sc = builtin.builtin_scene(name)
         assert sc is not None
-        assert len(sc.objects) > 5 and len(sc.materials) > 3
+        assert len(sc.objects) > 3 and len(sc.materials) > 3
         pt.pack_scene(sc, 64, 36)
 
 
