@@ -307,19 +307,50 @@ def _lane_zero_i32(ref):
     return (ref * _F(0.0)).astype(jnp.int32)
 
 
-def _rows_block(table, start, size):
-    """Fetch ``size`` consecutive rows at traced scalar ``start`` with ONE
-    dynamic slice — works on XLA arrays and on Pallas table refs alike
-    (in-kernel refs trace as Tracers whose aval is an AbstractRef, so the
-    discriminator looks at the aval).  The XLA walk is bound by the ~us
-    latency of each scalar-indexed fetch, so leaves read their whole 4x12
-    triangle block in a single slice."""
+def _is_smem_ref(table):
+    """True when ``table`` is a Pallas SMEM ref (scalar loads only)."""
+    aval = getattr(table, "aval", None)
+    if aval is None or "Ref" not in type(aval).__name__:
+        return False
+    return "smem" in str(getattr(aval, "memory_space", "")).lower()
+
+
+def _row_reader(table, idx):
+    """Column accessor for row ``idx`` at a traced scalar index.
+
+    SMEM refs only support scalar loads, so each column is its own fetch
+    (cheap there); XLA arrays and VMEM refs fetch the row once (scalar
+    fetches are ~us-latency on those paths) and index it for free."""
+    if _is_smem_ref(table):
+        return lambda c: table[idx, c]
     aval = getattr(table, "aval", None)
     if aval is not None and "Ref" in type(aval).__name__:
+        row = table[idx]
+    else:
+        row = lax.dynamic_slice(
+            table, (idx, jnp.int32(0)), (1, table.shape[1])
+        )[0]
+    return lambda c: row[c]
+
+
+def _leaf_readers(tri, first):
+    """LEAF_SIZE row accessors for the leaf starting at ``first``.
+
+    The tri table is padded by LEAF_SIZE rows, so reads stay in bounds
+    for the last leaf.  Non-SMEM paths fetch the whole 4-row block with
+    ONE dynamic slice (the fetch latency dominates those walks)."""
+    if _is_smem_ref(tri):
+        return [_row_reader(tri, first + k) for k in range(LEAF_SIZE)]
+    from_ref = getattr(tri, "aval", None) is not None and "Ref" in type(tri.aval).__name__
+    if from_ref:
         from jax.experimental import pallas as pl
 
-        return table[pl.ds(start, size)]
-    return lax.dynamic_slice(table, (start, jnp.int32(0)), (size, table.shape[1]))
+        blk = tri[pl.ds(first, LEAF_SIZE)]
+    else:
+        blk = lax.dynamic_slice(
+            tri, (first, jnp.int32(0)), (LEAF_SIZE, tri.shape[1])
+        )
+    return [(lambda c, k=k: blk[k, c]) for k in range(LEAF_SIZE)]
 
 
 def traverse_triangles_dynamic(
@@ -386,20 +417,19 @@ def traverse_triangles_dynamic(
 
     def _walk_step(n, c, slim):
         best_t, best_type, best_mat, best_m, nx, ny, nz = slim
-        # one dynamic-slice per table per visit; row indexing after is free
-        node = nodes[n]
-        miss_n = node[0]
-        first = node[1]
-        count = node[2]
-        bb = bounds[n]
+        node = _row_reader(nodes, n)
+        miss_n = node(0)
+        first = node(1)
+        count = node(2)
+        bb = _row_reader(bounds, n)
 
         active = c == n
-        t1x = (bb[0] - o.x) * inv_dx
-        t2x = (bb[3] - o.x) * inv_dx
-        t1y = (bb[1] - o.y) * inv_dy
-        t2y = (bb[4] - o.y) * inv_dy
-        t1z = (bb[2] - o.z) * inv_dz
-        t2z = (bb[5] - o.z) * inv_dz
+        t1x = (bb(0) - o.x) * inv_dx
+        t2x = (bb(3) - o.x) * inv_dx
+        t1y = (bb(1) - o.y) * inv_dy
+        t2y = (bb(4) - o.y) * inv_dy
+        t1z = (bb(2) - o.z) * inv_dz
+        t2z = (bb(5) - o.z) * inv_dz
         t0 = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -414,13 +444,13 @@ def traverse_triangles_dynamic(
         # ONE dynamic slice fetches the whole leaf block (geometry +
         # material/object indices ride the padded 12-float rows)
         is_leaf = count > 0
-        blk = _rows_block(tri, jnp.where(is_leaf, first, 0), LEAF_SIZE)
+        readers = _leaf_readers(tri, jnp.where(is_leaf, first, 0))
         for k in range(LEAF_SIZE):
             in_leaf = is_leaf & (k < count)
-            trow = blk[k]
-            v0x, v0y, v0z = trow[0], trow[1], trow[2]
-            e1x, e1y, e1z = trow[3], trow[4], trow[5]
-            e2x, e2y, e2z = trow[6], trow[7], trow[8]
+            trow = readers[k]
+            v0x, v0y, v0z = trow(0), trow(1), trow(2)
+            e1x, e1y, e1z = trow(3), trow(4), trow(5)
+            e2x, e2y, e2z = trow(6), trow(7), trow(8)
 
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
@@ -447,7 +477,7 @@ def traverse_triangles_dynamic(
             )
             if t_max is not None:
                 ok = ok & (t <= t_max)
-            obj_idx = trow[10].astype(jnp.int32)
+            obj_idx = trow(10).astype(jnp.int32)
             if exclude_obj is not None:
                 ok = ok & (exclude_obj != obj_idx)
             better = ok & (t < best_t)
@@ -460,11 +490,11 @@ def traverse_triangles_dynamic(
             cnx, cny, cnz = gnx / glen, gny / glen, gnz / glen
             # smooth shading (row flag col 11): interpolate vertex normals
             # (cols 12-20) by the hit barycentrics
-            smooth = trow[11] > _F(0.5)
+            smooth = trow(11) > _F(0.5)
             w0 = _F(1.0) - u - v
-            sx = w0 * trow[12] + u * trow[15] + v * trow[18]
-            sy = w0 * trow[13] + u * trow[16] + v * trow[19]
-            sz = w0 * trow[14] + u * trow[17] + v * trow[20]
+            sx = w0 * trow(12) + u * trow(15) + v * trow(18)
+            sy = w0 * trow(13) + u * trow(16) + v * trow(19)
+            sz = w0 * trow(14) + u * trow(17) + v * trow(20)
             slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
             cnx = jnp.where(smooth, sx / slen, cnx)
             cny = jnp.where(smooth, sy / slen, cny)
@@ -473,7 +503,7 @@ def traverse_triangles_dynamic(
             sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
             best_t = sel(t, best_t)
             best_type = sel(OBJ_TRIANGLE, best_type)
-            best_mat = sel(trow[9].astype(jnp.int32), best_mat)
+            best_mat = sel(trow(9).astype(jnp.int32), best_mat)
             best_m = sel(obj_idx, best_m)
             nx = sel(cnx, nx)
             ny = sel(cny, ny)
@@ -591,19 +621,19 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
         return (jnp.min(c), visits + 1, c, blocked.astype(jnp.int32))
 
     def _walk_step(n, c, blocked):
-        node = nodes[n]  # one row fetch per table per visit
-        miss_n = node[0]
-        first = node[1]
-        count = node[2]
-        bb = bounds[n]
+        node = _row_reader(nodes, n)
+        miss_n = node(0)
+        first = node(1)
+        count = node(2)
+        bb = _row_reader(bounds, n)
 
         active = (c == n) & ~blocked
-        t1x = (bb[0] - o.x) * inv_dx
-        t2x = (bb[3] - o.x) * inv_dx
-        t1y = (bb[1] - o.y) * inv_dy
-        t2y = (bb[4] - o.y) * inv_dy
-        t1z = (bb[2] - o.z) * inv_dz
-        t2z = (bb[5] - o.z) * inv_dz
+        t1x = (bb(0) - o.x) * inv_dx
+        t2x = (bb(3) - o.x) * inv_dx
+        t1y = (bb(1) - o.y) * inv_dy
+        t2y = (bb(4) - o.y) * inv_dy
+        t1z = (bb(2) - o.z) * inv_dz
+        t2z = (bb(5) - o.z) * inv_dz
         t0 = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -615,13 +645,13 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
         box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 <= t_max)
 
         is_leaf = count > 0
-        blk = _rows_block(tri, jnp.where(is_leaf, first, 0), LEAF_SIZE)
+        readers = _leaf_readers(tri, jnp.where(is_leaf, first, 0))
         for k in range(LEAF_SIZE):
             in_leaf = is_leaf & (k < count)
-            trow = blk[k]
-            v0x, v0y, v0z = trow[0], trow[1], trow[2]
-            e1x, e1y, e1z = trow[3], trow[4], trow[5]
-            e2x, e2y, e2z = trow[6], trow[7], trow[8]
+            trow = readers[k]
+            v0x, v0y, v0z = trow(0), trow(1), trow(2)
+            e1x, e1y, e1z = trow(3), trow(4), trow(5)
+            e2x, e2y, e2z = trow(6), trow(7), trow(8)
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
             pz = d.x * e2y - d.y * e2x

@@ -40,6 +40,8 @@ __all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK
 # Swept on v5e at 1080p/gpu_showcase: 8->231ms, 16->191ms, 32->186ms,
 # 64->200ms per 262k-lane chunk-pass.
 BLOCK_ROWS = 32
+# BVH tables at or below this triangle count ride in SMEM (see kernels)
+SMEM_TRI_MAX = 2048
 
 
 def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
@@ -131,11 +133,16 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    # BVH tables live in VMEM (not SMEM): at 12 floats per triangle a
-    # mesh budget of ~32k triangles costs ~4.5 MB — far beyond any SMEM
-    # budget — and the dynamic walk's row fetches at traced scalar
-    # indices lower fine from VMEM
-    vmem_table = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    # Small BVH tables stay in SMEM (fast scalar-indexed fetches for the
+    # dynamic walk); big meshes move them to VMEM, where ~32k triangles
+    # at 24 floats each fit comfortably but scalar-indexed row fetches
+    # are slower — the SMEM/VMEM split keeps the common case fast and
+    # removes the round-2 2k-triangle eligibility cliff.
+    table = (
+        smem
+        if pack.n_triangles <= SMEM_TRI_MAX
+        else (lambda: pl.BlockSpec(memory_space=pltpu.VMEM))
+    )
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -156,9 +163,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
-            vmem_table(),  # tri
-            vmem_table(),  # bvh_bounds
-            vmem_table(),  # bvh_nodes
+            table(),  # tri
+            table(),  # bvh_bounds
+            table(),  # bvh_nodes
             lane_in,
             lane_in,
             lane_in,
@@ -282,11 +289,16 @@ def render_pass_pallas(
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    # BVH tables live in VMEM (not SMEM): at 12 floats per triangle a
-    # mesh budget of ~32k triangles costs ~4.5 MB — far beyond any SMEM
-    # budget — and the dynamic walk's row fetches at traced scalar
-    # indices lower fine from VMEM
-    vmem_table = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    # Small BVH tables stay in SMEM (fast scalar-indexed fetches for the
+    # dynamic walk); big meshes move them to VMEM, where ~32k triangles
+    # at 24 floats each fit comfortably but scalar-indexed row fetches
+    # are slower — the SMEM/VMEM split keeps the common case fast and
+    # removes the round-2 2k-triangle eligibility cliff.
+    table = (
+        smem
+        if pack.n_triangles <= SMEM_TRI_MAX
+        else (lambda: pl.BlockSpec(memory_space=pltpu.VMEM))
+    )
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -306,9 +318,9 @@ def render_pass_pallas(
             smem(),  # cam
             smem(),  # sky
             smem(),  # fog
-            vmem_table(),  # tri
-            vmem_table(),  # bvh_bounds
-            vmem_table(),  # bvh_nodes
+            table(),  # tri
+            table(),  # bvh_bounds
+            table(),  # bvh_nodes
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
