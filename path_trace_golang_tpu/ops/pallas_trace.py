@@ -38,7 +38,8 @@ __all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK
 # large blocks explode compile time and registers; 256 rows fails to
 # compile) and give per-block early exit when a block's paths all die.
 # Swept on v5e at 1080p/gpu_showcase: 8->231ms, 16->191ms, 32->186ms,
-# 64->200ms per 262k-lane chunk-pass.
+# 64->200ms per 262k-lane chunk-pass; re-swept in round 3 after the
+# sincos change (w8 Mrays/s: 16->246, 32->253, 64->231) — 32 holds.
 BLOCK_ROWS = 32
 # BVH tables at or below this triangle count ride in SMEM (see kernels)
 SMEM_TRI_MAX = 2048
