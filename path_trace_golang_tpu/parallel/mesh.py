@@ -249,7 +249,7 @@ class MeshRenderer:
         start_dispatch = 0
         accum = None
         if self.checkpoint_path:
-            ck = ckpt_mod.load_checkpoint(self.checkpoint_path)
+            ck = ckpt_mod.load_checkpoint(self.checkpoint_path, keep=self.checkpoint_keep)
             if (
                 ck is not None
                 and ck.compatible_with(digest)
@@ -265,6 +265,11 @@ class MeshRenderer:
 
         nonfinite = 0
         completed = start_dispatch
+        # Dynamic-walk scenes: sync per dispatch for the same documented
+        # hazard Renderer.render guards against — queued multi-second walk
+        # dispatches would push the next host sync past the RPC deadline
+        # and kill the worker (render.max_chunk_lanes).
+        walk_capped = render_mod.max_chunk_lanes(sc) < (1 << 62)
         for d in range(start_dispatch, dispatches):
             accum, segs = _sharded_pass(
                 accum,
@@ -285,6 +290,8 @@ class MeshRenderer:
                 # fault above ~1536x128 lanes — see render.max_chunk_lanes)
                 chunk=min(self.chunk or (1 << 62), render_mod.max_chunk_lanes(sc)),
             )
+            if walk_capped:
+                jax.block_until_ready(accum)
             total_segs = total_segs + segs.astype(jnp.float32)
             completed = d + 1
             if (d % update_every) == update_every - 1 or d == dispatches - 1:

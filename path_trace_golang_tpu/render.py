@@ -81,11 +81,18 @@ def max_chunk_lanes(sc: Scene) -> int:
     lanes as possible."""
     from .ops import bvh as bvh_mod
 
-    n_tris = sum(
-        (1 if o.type == "triangle" else len((o.mesh or {}).get("faces", ())))
-        for o in sc.objects
-        if o.type in ("triangle", "mesh")
-    )
+    # Mirrors pack_scene's eligibility rules exactly (soa.py): triangles
+    # need >=3 vertices; meshes need non-empty vertices AND faces — so the
+    # cap never engages for scenes that pack zero (or few) triangles.
+    n_tris = 0
+    for o in sc.objects:
+        if o.type == "triangle" and o.vertices and len(o.vertices) >= 3:
+            n_tris += 1
+        elif o.type == "mesh" and o.mesh:
+            verts = o.mesh.get("vertices") or ()
+            faces = o.mesh.get("faces") or ()
+            if len(verts) and len(faces):
+                n_tris += len(faces)
     if n_tris and bvh_mod.use_dynamic_walk(n_tris):
         return 512 * 128
     return 1 << 62
@@ -477,7 +484,7 @@ class Renderer:
         start_pass = 0
         accum = None
         if self.checkpoint_path:
-            ck = ckpt_mod.load_checkpoint(self.checkpoint_path)
+            ck = ckpt_mod.load_checkpoint(self.checkpoint_path, keep=self.checkpoint_keep)
             if (
                 ck is not None
                 and ck.compatible_with(digest)

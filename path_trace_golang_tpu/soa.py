@@ -360,6 +360,14 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 )
 
     t_count = len(tri_v0)
+    # obj/mat indices ride the 24-float tri rows as float32 (cols 9-10),
+    # exact only up to 2^24 — guard the invariant rather than silently
+    # rounding indices on absurdly large meshes.
+    if o_count + t_count >= 2**24:
+        raise ValueError(
+            f"scene has {o_count + t_count} objects+triangles; float32 "
+            "index columns in the triangle table are exact only below 2^24"
+        )
     if t_count:
         from .ops.bvh import build_bvh
 

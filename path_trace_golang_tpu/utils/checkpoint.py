@@ -87,7 +87,9 @@ def rotate_checkpoints(path: str, keep: int) -> None:
 
 
 def save_checkpoint(path: str, ckpt: Checkpoint, keep: int = 0) -> None:
-    rotate_checkpoints(path, keep)
+    # Write the new generation to a tmp file FIRST, so a crash anywhere in
+    # this function leaves either the old checkpoint at ``path`` or (after
+    # the final rename) the new one — never a window with no checkpoint.
     tmp = f"{path}.tmp"
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,
@@ -101,20 +103,37 @@ def save_checkpoint(path: str, ckpt: Checkpoint, keep: int = 0) -> None:
     )
     # np.savez appends .npz when missing
     actual_tmp = tmp if tmp.endswith(".npz") else f"{tmp}.npz"
+    rotate_checkpoints(path, keep)
     os.replace(actual_tmp, path)
 
 
-def load_checkpoint(path: str) -> Optional[Checkpoint]:
+def _load_one(path: str) -> Optional[Checkpoint]:
     if not os.path.exists(path):
         return None
-    with np.load(path) as z:
-        if int(z["version"]) != FORMAT_VERSION:
-            return None
-        return Checkpoint(
-            accum=np.asarray(z["accum"], np.float32),
-            passes=int(z["passes"]),
-            seed=int(z["seed"]),
-            digest=bytes(z["digest"]).decode(),
-            width=int(z["width"]),
-            height=int(z["height"]),
-        )
+    try:
+        with np.load(path) as z:
+            if int(z["version"]) != FORMAT_VERSION:
+                return None
+            return Checkpoint(
+                accum=np.asarray(z["accum"], np.float32),
+                passes=int(z["passes"]),
+                seed=int(z["seed"]),
+                digest=bytes(z["digest"]).decode(),
+                width=int(z["width"]),
+                height=int(z["height"]),
+            )
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def load_checkpoint(path: str, keep: int = 0) -> Optional[Checkpoint]:
+    """Load ``path``, falling back to the ``.1 .. .keep`` rotation
+    generations when it is missing or unreadable (newest first)."""
+    ckpt = _load_one(path)
+    if ckpt is not None:
+        return ckpt
+    for i in range(1, keep + 1):
+        ckpt = _load_one(f"{path}.{i}")
+        if ckpt is not None:
+            return ckpt
+    return None

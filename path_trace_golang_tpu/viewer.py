@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -81,8 +82,17 @@ document.addEventListener('keydown', ev=>{
 class ViewerServer:
     """Wraps an InteractiveSession behind a threaded HTTP server."""
 
-    def __init__(self, session: InteractiveSession, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(
+        self,
+        session: InteractiveSession,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        save_dir: Optional[str] = None,
+    ):
         self.session = session
+        # /save is a remote file-write primitive; confine it to one
+        # directory (default: the working directory at server start).
+        self.save_dir = os.path.realpath(save_dir or os.getcwd())
         self._frame_lock = threading.Lock()
         self._frame_cond = threading.Condition(self._frame_lock)
         self._frame_png: Optional[bytes] = None
@@ -151,8 +161,16 @@ class ViewerServer:
                     self._send(200, "application/json", b'{"ok": true}')
                 elif url.path == "/save":
                     path = (q.get("path") or ["viewer_final.png"])[0]
+                    resolved = viewer._resolve_save_path(path)
+                    if resolved is None:
+                        self._send(
+                            400,
+                            "application/json",
+                            json.dumps({"error": "path escapes the save directory"}).encode(),
+                        )
+                        return
                     try:
-                        out = viewer.session.save_image(path)
+                        out = viewer.session.save_image(resolved)
                         self._send(200, "application/json", json.dumps({"saved": out}).encode())
                     except Exception as e:
                         self._send(500, "application/json", json.dumps({"error": str(e)}).encode())
@@ -161,6 +179,14 @@ class ViewerServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
+
+    def _resolve_save_path(self, path: str) -> Optional[str]:
+        """Resolve a /save query path inside ``save_dir``; None if it
+        escapes (absolute paths, .. traversal, symlink tricks)."""
+        candidate = os.path.realpath(os.path.join(self.save_dir, path))
+        if candidate == self.save_dir or candidate.startswith(self.save_dir + os.sep):
+            return candidate
+        return None
 
     # -- frame plumbing ---------------------------------------------------
 

@@ -67,10 +67,18 @@ def test_scene_golden(name, contract, depth):
 
     goldens = _load_goldens()
     if key not in goldens:
-        goldens[key] = got
-        with open(GOLDENS_PATH, "w") as f:
-            json.dump(goldens, f, indent=1, sort_keys=True)
-        pytest.skip(f"golden recorded for {key}: {got}")
+        # Recording is opt-in (PATHTRACER_RECORD_GOLDENS=1): a fresh
+        # checkout missing goldens.json must FAIL, not silently bake a
+        # possibly-broken render into new goldens (VERDICT r2 weak #5).
+        if os.environ.get("PATHTRACER_RECORD_GOLDENS", "") in ("1", "true", "on"):
+            goldens[key] = got
+            with open(GOLDENS_PATH, "w") as f:
+                json.dump(goldens, f, indent=1, sort_keys=True)
+            pytest.skip(f"golden recorded for {key}: {got}")
+        pytest.fail(
+            f"no golden for {key} (tests/goldens.json missing or stale); "
+            "set PATHTRACER_RECORD_GOLDENS=1 to record"
+        )
 
     want = goldens[key]
     for ch in range(3):

@@ -146,6 +146,28 @@ def test_checkpoint_rotation(tmp_path):
     assert not os.path.exists(single + ".1")
 
 
+def test_checkpoint_load_falls_back_to_rotation(tmp_path):
+    """A missing or corrupt head checkpoint resumes from the newest
+    rotation generation instead of silently restarting from scratch."""
+    import os
+
+    path = str(tmp_path / "r.ckpt")
+    for p_i in (1, 2, 3):
+        ck.save_checkpoint(
+            path,
+            ck.Checkpoint(np.zeros((4, 3), np.float32), passes=p_i, seed=7, digest="d", width=2, height=2),
+            keep=2,
+        )
+    os.remove(path)  # simulate a crash window / lost head
+    back = ck.load_checkpoint(path, keep=2)
+    assert back is not None and back.passes == 2  # newest surviving generation
+
+    with open(path, "wb") as f:
+        f.write(b"corrupt")  # unreadable head -> same fallback
+    back = ck.load_checkpoint(path, keep=2)
+    assert back is not None and back.passes == 2
+
+
 def test_checkpoint_roundtrip(tmp_path):
     path = str(tmp_path / "r.ckpt")
     accum = np.random.default_rng(0).random((64, 3)).astype(np.float32)

