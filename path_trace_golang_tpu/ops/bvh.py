@@ -14,19 +14,14 @@ layout, chosen by mesh size:
   every leaf's Möller–Trumbore unroll into straight-line VPU code with
   traced-scalar vertices: zero gathers, maximal fusion, but instruction
   count grows with node count (the round-1 128-triangle Pallas cliff).
-* **Hybrid dynamic packet walk** (``traverse_triangles_dynamic``, large
-  meshes) — topology lives in tables (VMEM refs inside Pallas kernels);
-  a ``lax.while_loop`` drives a **global scalar cursor with per-lane
-  next-node cursors**: each step processes the minimum wanted node over
-  the packet, lanes that miss a subtree jump their cursor past it, and
-  the global cursor jumps to ``min(per-lane cursors)`` — whole subtrees
-  that no lane wants are never visited, making node visits sublinear for
-  coherent packets (camera/shadow rays) instead of the unrolled walk's
-  O(nodes).  All per-node reads are scalar (node index is the scalar
-  cursor), so there are still ZERO per-lane gathers.  Divergent packets
-  whose jump rate falls behind a lockstep frontier switch to a fori tail
-  that sweeps the remaining DFS range with no scalar syncs — bounding
-  the worst case (the jump sync is the dominant per-visit cost, PERF.md).
+* **Paged page-sweep traversal** (``traverse_triangles_paged``, large
+  meshes) — the tree is cut into pages of <= PAGE_TRIS triangles; a
+  packet-lockstep top walk marks each lane's wanted pages in a bitmask,
+  and wanted pages are swept with vectorized Möller–Trumbore over
+  scalar-broadcast triangle rows (one dynamic-sublane row fetch per
+  triangle — the only dynamic-memory-access pattern Mosaic makes fast).
+  Divergent packets cost the union of PAGES, not NODES; see the banner
+  at the paged section below and PERF.md round 4.
 """
 
 from __future__ import annotations
@@ -44,10 +39,12 @@ from .vec import V3
 
 __all__ = [
     "BvhTopology",
+    "PagedBvh",
     "build_bvh",
+    "build_paged_bvh",
     "traverse_triangles",
-    "traverse_triangles_dynamic",
-    "occluded_triangles_dynamic",
+    "traverse_triangles_paged",
+    "occluded_triangles_paged",
     "use_dynamic_walk",
     "OBJ_TRIANGLE",
     "LEAF_SIZE",
@@ -56,41 +53,39 @@ __all__ = [
 
 OBJ_TRIANGLE = 3  # extends the reference's OBJ_* codes (gpu.go:435-437)
 LEAF_SIZE = 4
-# Hybrid-walk jump-phase exit rule.  A global-jump iteration pays a
-# vector->scalar sync for the min-over-lanes cursor (~24us on the XLA
-# path, ~1us inside a Pallas kernel where Mosaic loops are cheap) vs a
-# far cheaper lockstep node step, so jumping pays only while it skips
-# enough nodes per visit.  The jump phase continues while the cursor
-# stays ahead of a min-rate-nodes-per-visit frontier (after a grace
-# period covering the initial root descent); packets that fall behind
-# are divergent, and a lockstep fori tail sweeps their remaining DFS
-# range with no scalar syncs, bounding the worst case (PERF.md round 3).
-# Coherent packets (measured ~45 nodes skipped per visit on the 8k-node
-# benchmark tree) never hit the XLA gate and keep sublinear visits.
-JUMP_MIN_RATE = 32
-JUMP_GRACE = 64
-JUMP_MIN_RATE_KERNEL = 4
-JUMP_GRACE_KERNEL = 512
 
 # Above this triangle count the unrolled walk's instruction budget (and
-# Pallas compile time) stops paying for itself; the dynamic packet walk
-# takes over.  PATHTRACER_BVH_DYNAMIC=1 forces the dynamic walk (tests).
+# Pallas compile time) stops paying for itself; the paged per-lane walk
+# takes over.  PATHTRACER_BVH_DYNAMIC=1 forces the paged walk (tests).
 STATIC_TRI_MAX = 128
 _F = jnp.float32
-
-
-def _jump_gate(table):
-    """(min_rate, grace) for the hybrid walk, by execution context."""
-    aval = getattr(table, "aval", None)
-    if aval is not None and "Ref" in type(aval).__name__:
-        return JUMP_MIN_RATE_KERNEL, JUMP_GRACE_KERNEL
-    return JUMP_MIN_RATE, JUMP_GRACE
 
 
 def use_dynamic_walk(n_triangles: int) -> bool:
     if os.environ.get("PATHTRACER_BVH_DYNAMIC", "") in ("1", "true", "on"):
         return True
     return n_triangles > STATIC_TRI_MAX
+
+
+def _lane_zero_i32(ref):
+    """Concrete-layout i32 zeros derived from a lane grid (the Mosaic
+    splat-carry workaround — see integrator.pass_regen_gpu)."""
+    return (ref * _F(0.0)).astype(jnp.int32)
+
+
+def _row_reader(table, idx):
+    """Column accessor for row ``idx`` at a traced scalar index.
+
+    Pallas refs fetch the row once with a dynamic slice; XLA arrays use
+    lax.dynamic_slice.  Either way the row's columns are then free."""
+    aval = getattr(table, "aval", None)
+    if aval is not None and "Ref" in type(aval).__name__:
+        row = table[idx]
+    else:
+        row = lax.dynamic_slice(
+            table, (idx, jnp.int32(0)), (1, table.shape[1])
+        )[0]
+    return lambda c: row[c]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -297,161 +292,336 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
             skip = jnp.where(active & ~box_hit, jnp.int32(topo.miss[n]), skip)
 
 
+
+
 # ---------------------------------------------------------------------------
-# Dynamic packet traversal (large meshes; Pallas-eligible via SMEM tables)
+# Paged page-sweep traversal (large meshes) — the round-3 redesign
 # ---------------------------------------------------------------------------
+#
+# The round-2 "hybrid packet walk" processed ONE node per step for the
+# whole packet, so a divergent packet (e.g. cosine/GGX bounce rays off a
+# mesh) degenerated to a full-tree sweep with LEAF_SIZE masked
+# Möller–Trumbore tests at every visit — measured 0.2-0.9 Mrays/s at 10k
+# triangles vs 250-307 on the reference scenes (VERDICT r2).
+#
+# Round-3 re-design, after measuring the candidate primitives on v5e
+# (PERF.md round 4): per-lane gathers (`jnp.take_along_axis` along
+# lanes) DO compile in Mosaic but cost ~100-400 ns per lane-grid — far
+# too slow to fetch 10+ node attributes per per-lane walk step.  What
+# IS cheap is (a) scalar/row fetches at traced indices and (b) straight
+# vectorized arithmetic with scalar-broadcast operands — exactly the
+# static unrolled walk's diet.  So the paged design keeps the per-lane
+# part where it is free and the vector part where it is dense:
+#
+#   phase 1  top walk: packet-lockstep escape-link walk over the
+#            <= 2*n_pages-1 supernodes (scalar cursor, strictly
+#            advancing global min => at most n_top iterations) marks a
+#            per-lane BITMASK of wanted pages — per-lane culling at
+#            page granularity costs a few bit ops per top leaf;
+#   phase 2  pages are visited in ascending order via a min-cursor over
+#            the packet's next wanted page; a visited page is swept:
+#            every triangle slot gets one vectorized Möller–Trumbore
+#            test with scalar triangle data (fori over slots — the same
+#            op diet as the static walk, zero gathers).  Smooth vertex
+#            normals interpolate inline at the winning test (vn rides
+#            the same page row).
+#
+# Divergence costs the packet-level union of PAGES (~n_pages) instead
+# of the union of NODES (~2T); the worst case is the brute-force sweep
+# of every page, which is exactly the arithmetic floor of a SIMD
+# machine with no cheap per-lane memory access.  Coherent packets sweep
+# only the few pages their rays traverse.
 
-def _lane_zero_i32(ref):
-    """Concrete-layout i32 zeros derived from a lane grid (the Mosaic
-    splat-carry workaround — see integrator.pass_regen_gpu)."""
-    return (ref * _F(0.0)).astype(jnp.int32)
-
-
-def _is_smem_ref(table):
-    """True when ``table`` is a Pallas SMEM ref (scalar loads only)."""
-    aval = getattr(table, "aval", None)
-    if aval is None or "Ref" not in type(aval).__name__:
-        return False
-    return "smem" in str(getattr(aval, "memory_space", "")).lower()
-
-
-def _row_reader(table, idx):
-    """Column accessor for row ``idx`` at a traced scalar index.
-
-    SMEM refs only support scalar loads, so each column is its own fetch
-    (cheap there); XLA arrays and VMEM refs fetch the row once (scalar
-    fetches are ~us-latency on those paths) and index it for free."""
-    if _is_smem_ref(table):
-        return lambda c: table[idx, c]
-    aval = getattr(table, "aval", None)
-    if aval is not None and "Ref" in type(aval).__name__:
-        row = table[idx]
-    else:
-        row = lax.dynamic_slice(
-            table, (idx, jnp.int32(0)), (1, table.shape[1])
-        )[0]
-    return lambda c: row[c]
-
-
-def _leaf_readers(tri, first):
-    """LEAF_SIZE row accessors for the leaf starting at ``first``.
-
-    The tri table is padded by LEAF_SIZE rows, so reads stay in bounds
-    for the last leaf.  Non-SMEM paths fetch the whole 4-row block with
-    ONE dynamic slice (the fetch latency dominates those walks)."""
-    if _is_smem_ref(tri):
-        return [_row_reader(tri, first + k) for k in range(LEAF_SIZE)]
-    from_ref = getattr(tri, "aval", None) is not None and "Ref" in type(tri.aval).__name__
-    if from_ref:
-        from jax.experimental import pallas as pl
-
-        blk = tri[pl.ds(first, LEAF_SIZE)]
-    else:
-        blk = lax.dynamic_slice(
-            tri, (first, jnp.int32(0)), (LEAF_SIZE, tri.shape[1])
-        )
-    return [(lambda c, k=k: blk[k, c]) for k in range(LEAF_SIZE)]
+PAGE_TRIS = 128          # triangle slots per page
+MASK_BITS = 30           # usable bits per i32 mask word (sign bit avoided)
+# page_tris is triangle-major — f32[P * PAGE_TRIS, N_TRI_ATTRS] — because
+# Mosaic supports dynamic-SUBLANE row fetches from VMEM but not scalar
+# loads at dynamic LANE offsets ("cannot statically prove that index ...
+# is a multiple of 128"); one row fetch per triangle is the round-2
+# leaf-fetch pattern that measured fast.  Row layout:
+#   0-2 v0 | 3-5 e1 | 6-8 e2 | 9 mat | 10 obj | 11 smooth | 12-20 vn0/1/2
+N_TRI_ATTRS = 24  # 21 used + pad for tidy strides
 
 
-def traverse_triangles_dynamic(
-    o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
+def _link_escapes(nodes, root_escape):
+    """Fill DFS escape links in-place for a [lo, hi, miss, leaf] node list.
+
+    Two passes: subtree sizes, then ``miss[i] = index after i's subtree``
+    (the same invariant the round-1 build used: a missed subtree resumes
+    at ``i + size(i)``)."""
+    n = len(nodes)
+    size = [1] * n
+
+    def compute_size(i):
+        if nodes[i][3] >= 0:  # leaf
+            return 1
+        ls = compute_size(i + 1)
+        rs = compute_size(i + 1 + ls)
+        size[i] = 1 + ls + rs
+        return size[i]
+
+    if n:
+        compute_size(0)
+    for i in range(n):
+        nodes[i][2] = i + size[i] if i + size[i] < n else root_escape
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedBvh:
+    """Static (hashable) metadata of the paged layout."""
+
+    n_pages: int
+    n_top: int           # top-tree node count (escape-linked DFS)
+    any_smooth: bool     # any triangle interpolates vertex normals
+
+    @property
+    def mask_words(self) -> int:
+        return -(-self.n_pages // MASK_BITS)
+
+
+def build_paged_bvh(
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    tri_mat,
+    tri_obj,
+    tri_smooth,
+    tri_vn,
 ):
-    """Packet BVH walk over topology TABLES (pack.bvh_nodes / tri),
-    updating the intersect_world winner chain dict in-place-style
-    (returns the new dict plus the node-visit count).
+    """Median-split paged BVH build (host NumPy).
 
-    Hybrid traversal (PERF.md round 3).  Jump phase: per step, one
-    scalar node fetch, one slab test for the packet, LEAF_SIZE masked
-    Möller–Trumbore tests when the node is a leaf, and a global jump to
-    the packet's minimum next-node cursor — visits are sublinear in
-    nodes whenever the packet's rays agree on missing subtrees, but each
-    step pays a ~24us vector->scalar sync for the jump.  Packets still
-    walking after MAX_JUMP_VISITS steps are divergent; a lockstep fori
-    tail then sweeps the remaining DFS range with the induction variable
-    as the node index (no scalar syncs, ~0.5us/node), bounding the worst
-    case.
+    v0/e1/e2: f64[T,3]; tri_mat/tri_obj: per-triangle material index and
+    global object id; tri_smooth: per-triangle bool; tri_vn: per-triangle
+    (n0,n1,n2) vertex normals or None.
 
-    The while carry holds only the SLIM winner record — (best_t,
-    best_type, best_mat, best_m, geometric normal), 8 lane grids — not
-    the 30-grid full material chain (compile time scales with the carry),
-    and the material constants are recoverable after the
-    walk by one static unrolled select over the material table (same
-    zero-gather trick as the object sweep; the walk's winner material
-    INDEX rides the carry).  Returns (state, visits_i32_scalar).
+    Returns (paged: PagedBvh,
+             top_tab    f32[n_top, 8]                  [lo3, hi3, miss, page|-1],
+             page_tris  f32[P * PAGE_TRIS, N_TRI_ATTRS] see layout above,
+             page_bbox  f32[P, 8]                      [lo3, hi3, count, pad])
     """
-    nodes = pack.bvh_nodes
-    bounds = pack.bvh_bounds
-    tri = pack.tri
-    mat = pack.mat
-    n_nodes = pack.bvh.n_nodes if pack.bvh is not None else 0
-    if n_nodes == 0:
-        return state, jnp.zeros((), jnp.int32)
+    t = v0.shape[0]
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    centroid = (lo + hi) * 0.5
 
-    inv_dx = _F(1.0) / d.x
-    inv_dy = _F(1.0) / d.y
-    inv_dz = _F(1.0) / d.z
+    def split(idxs):
+        c = centroid[idxs]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        # split near the median but ALIGNED to the page capacity, so the
+        # leaves of the cut are (almost all) full pages — the sweep runs
+        # a fixed PAGE_TRIS trip count, so half-empty pages would waste
+        # real arithmetic on padded degenerate slots
+        n = len(idxs)
+        half = round(n / 2 / PAGE_TRIS) * PAGE_TRIS
+        half = max(PAGE_TRIS, min(half, n - 1))
+        if n - half < PAGE_TRIS and n > 2 * PAGE_TRIS:
+            half = n - PAGE_TRIS
+        return [idxs[i] for i in order[:half]], [idxs[i] for i in order[half:]]
 
-    zero_f = o.x * _F(0.0)
-    zero_i = _lane_zero_i32(o.x)
-    slim0 = (
-        state["best_t"] + zero_f,  # desplat (Mosaic replicated-layout bug)
-        state["best_type"] + zero_i,
-        zero_i,  # best_mat (triangle winners only; resolved post-walk)
-        zero_i,  # best_m (global object index of the winning triangle)
-        zero_f,  # nx
-        zero_f,  # ny
-        zero_f,  # nz
+    # ---- top tree: nodes above page cuts, DFS with escape links ----
+    top_nodes = []   # [lo3, hi3, miss, page]
+    pages = []       # list of triangle-index lists
+
+    def emit_top(idxs):
+        my = len(top_nodes)
+        top_nodes.append([lo[idxs].min(axis=0), hi[idxs].max(axis=0), 0, -1])
+        if len(idxs) <= PAGE_TRIS:
+            top_nodes[my][3] = len(pages)
+            pages.append(list(idxs))
+            return 1
+        left, right = split(idxs)
+        ls = emit_top(left)
+        rs = emit_top(right)
+        return 1 + ls + rs
+
+    emit_top(list(range(t)))
+    n_top = len(top_nodes)
+    _link_escapes(top_nodes, n_top)
+
+    n_pages = len(pages)
+    top_arr = np.zeros((n_top, 8), np.float32)
+    for i, (nlo, nhi, miss, page) in enumerate(top_nodes):
+        top_arr[i, 0:3] = nlo
+        top_arr[i, 3:6] = nhi
+        top_arr[i, 6] = miss
+        top_arr[i, 7] = page
+
+    page_tris = np.zeros((n_pages * PAGE_TRIS, N_TRI_ATTRS), np.float32)
+    page_bbox = np.zeros((n_pages, 8), np.float32)
+    any_smooth = False
+    for p, members in enumerate(pages):
+        page_bbox[p, 0:3] = lo[members].min(axis=0)
+        page_bbox[p, 3:6] = hi[members].max(axis=0)
+        page_bbox[p, 6] = len(members)
+        for s, orig in enumerate(members):
+            row = p * PAGE_TRIS + s
+            page_tris[row, 0:3] = v0[orig]
+            page_tris[row, 3:6] = e1[orig]
+            page_tris[row, 6:9] = e2[orig]
+            page_tris[row, 9] = float(tri_mat[orig])
+            page_tris[row, 10] = float(tri_obj[orig])
+            if tri_smooth[orig]:
+                any_smooth = True
+                page_tris[row, 11] = 1.0
+                n0, n1, n2 = tri_vn[orig]
+                page_tris[row, 12:15] = n0
+                page_tris[row, 15:18] = n1
+                page_tris[row, 18:21] = n2
+
+    paged = PagedBvh(n_pages=n_pages, n_top=n_top, any_smooth=any_smooth)
+    return paged, top_arr, page_tris, page_bbox
+
+
+# ---------------------------------------------------------------------------
+# Paged traversal kernels
+# ---------------------------------------------------------------------------
+
+
+
+def _slab_scalars(o, inv, lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
+    """Slab test against scalar-broadcast bounds; returns (t0, t1)."""
+    t1x = (lo_x - o.x) * inv.x
+    t2x = (hi_x - o.x) * inv.x
+    t1y = (lo_y - o.y) * inv.y
+    t2y = (hi_y - o.y) * inv.y
+    t1z = (lo_z - o.z) * inv.z
+    t2z = (hi_z - o.z) * inv.z
+    t0 = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
     )
-    carry0 = (
-        jnp.zeros((), jnp.int32),  # global cursor
-        jnp.zeros((), jnp.int32),  # visit count
-        zero_i,  # per-lane next-node cursor
-    ) + slim0
+    t1 = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return t0, t1
 
-    jump_rate, jump_grace = _jump_gate(tri)
+
+def _next_wanted(words, sentinel):
+    """Per-lane smallest set-bit page index across mask words (else
+    ``sentinel``).  Bit index via the float-exponent trick: the lowest
+    set bit ``w & -w`` is a power of two whose f32 exponent IS its index
+    (exact: words use MASK_BITS <= 30 bits)."""
+    best = None
+    for j, w in enumerate(words):
+        low = w & (-w)
+        bits = lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32)
+        idx = (bits >> 23) - 127 + MASK_BITS * j
+        cand = jnp.where(w > 0, idx, sentinel)
+        best = cand if best is None else jnp.minimum(best, cand)
+    return best
+
+
+def _scalar_word_bit(p, j):
+    """Scalar (traced) i32 with bit ``p - j*MASK_BITS`` set when page p
+    lives in word j, else 0."""
+    rel = p - MASK_BITS * j
+    in_word = (rel >= 0) & (rel < MASK_BITS)
+    return jnp.where(
+        in_word, lax.shift_left(jnp.int32(1), jnp.clip(rel, 0, MASK_BITS - 1)), jnp.int32(0)
+    )
+
+
+def _top_walk(o, d, inv, pack, t_min, best_t, t_max=None, skip=None):
+    """Packet-lockstep walk of the top (page-level) tree: returns
+    (mask word lane grids, visit count scalar).  Strictly-advancing
+    global min cursor => at most n_top iterations, no gate needed.
+    ``skip`` masks lanes that want no pages at all."""
+    paged: PagedBvh = pack.paged
+    top = pack.top_tab
+    zero_i = _lane_zero_i32(o.x)
+    n_top = paged.n_top
+
+    done = jnp.int32(n_top)
+    c0 = zero_i if skip is None else jnp.where(skip, done, zero_i)
+    carry0 = (jnp.min(c0), jnp.zeros((), jnp.int32), c0) + tuple(
+        zero_i for _ in range(paged.mask_words)
+    )
 
     def cond(carry):
-        n, visits = carry[0], carry[1]
-        ahead = (visits < jump_grace) | (n >= visits * jump_rate)
-        return (n < n_nodes) & ahead
+        return carry[0] < n_top
 
-    def _walk_step(n, c, slim):
-        best_t, best_type, best_mat, best_m, nx, ny, nz = slim
-        node = _row_reader(nodes, n)
-        miss_n = node(0)
-        first = node(1)
-        count = node(2)
-        bb = _row_reader(bounds, n)
-
-        active = c == n
-        t1x = (bb(0) - o.x) * inv_dx
-        t2x = (bb(3) - o.x) * inv_dx
-        t1y = (bb(1) - o.y) * inv_dy
-        t2y = (bb(4) - o.y) * inv_dy
-        t1z = (bb(2) - o.z) * inv_dz
-        t2z = (bb(5) - o.z) * inv_dz
-        t0 = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
-        )
-        t1 = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
+    def body(carry):
+        g, visits, c = carry[0], carry[1], carry[2]
+        words = list(carry[3:])
+        row = _row_reader(top, g)
+        t0, t1 = _slab_scalars(o, inv, row(0), row(1), row(2), row(3), row(4), row(5))
+        active = c == g
         box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
+        if t_max is not None:
+            box_hit = box_hit & (t0 <= t_max)
+        miss = row(6).astype(jnp.int32)
+        page = row(7).astype(jnp.int32)
+        is_leaf = page >= 0  # traced scalar
+        for j in range(len(words)):
+            bit = _scalar_word_bit(page, j)
+            words[j] = words[j] | jnp.where(box_hit & is_leaf, bit, 0)
+        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, g + 1, miss), c)
+        return (jnp.min(c), visits + 1, c) + tuple(words)
 
-        # leaf: LEAF_SIZE masked Möller–Trumbore tests (count <= LEAF_SIZE);
-        # ONE dynamic slice fetches the whole leaf block (geometry +
-        # material/object indices ride the padded 12-float rows)
-        is_leaf = count > 0
-        readers = _leaf_readers(tri, jnp.where(is_leaf, first, 0))
-        for k in range(LEAF_SIZE):
-            in_leaf = is_leaf & (k < count)
-            trow = readers[k]
-            v0x, v0y, v0z = trow(0), trow(1), trow(2)
-            e1x, e1y, e1z = trow(3), trow(4), trow(5)
-            e2x, e2y, e2z = trow(6), trow(7), trow(8)
+    out = lax.while_loop(cond, body, carry0)
+    return list(out[3:]), out[1]
 
+
+def traverse_triangles_paged(
+    o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
+):
+    """Closest-hit paged traversal; same contract as the round-2 dynamic
+    walk (updates the intersect_world winner-chain dict; returns
+    (state, visits)).  See the section banner for the design."""
+    paged: PagedBvh = pack.paged
+    if paged is None or paged.n_pages == 0:
+        return state, jnp.zeros((), jnp.int32)
+    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
+    zero_f = o.x * _F(0.0)
+    zero_i = _lane_zero_i32(o.x)
+    n_pages = paged.n_pages
+    sent = jnp.int32(n_pages)
+    smooth = paged.any_smooth
+
+    words, top_visits = _top_walk(o, d, inv, pack, t_min, state["best_t"], t_max=t_max)
+
+    best0 = (
+        state["best_t"] + zero_f,  # desplat (Mosaic replicated-layout bug)
+        zero_i,                    # best_mat
+        zero_i,                    # best_m (global object id)
+        zero_f, zero_f, zero_f,    # shading normal
+    )
+    p0 = jnp.min(_next_wanted(words, sent))
+    carry0 = (p0, top_visits) + tuple(words) + best0
+    w_n = paged.mask_words
+
+    def outer_cond(carry):
+        return carry[0] < n_pages
+
+    def outer_body(carry):
+        p, visits = carry[0], carry[1]
+        words = list(carry[2:2 + w_n])
+        best = list(carry[2 + w_n:])
+
+        part = zero_i
+        for j in range(w_n):
+            part = part | (words[j] & _scalar_word_bit(p, j))
+        participate = part != 0
+
+        bb = _row_reader(pack.page_bbox, p)
+        pt0, pt1 = _slab_scalars(o, inv, bb(0), bb(1), bb(2), bb(3), bb(4), bb(5))
+        viable = participate & (pt1 >= pt0) & (pt1 >= t_min) & (pt0 < best[0])
+        if t_max is not None:
+            viable = viable & (pt0 <= t_max)
+        count = bb(6).astype(jnp.int32)
+        base = p * PAGE_TRIS
+
+        def tri_body(k, c2):
+            best_t, best_mat, best_m, nx, ny, nz = c2
+            col2 = _row_reader(pack.page_tris, base + k)
+            col = lambda a, _k: col2(a)  # noqa: E731
+            v0x, v0y, v0z = col(0, k), col(1, k), col(2, k)
+            e1x, e1y, e1z = col(3, k), col(4, k), col(5, k)
+            e2x, e2y, e2z = col(6, k), col(7, k), col(8, k)
+
+            # Möller–Trumbore with scalar triangle data (vector in o,d)
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
             pz = d.x * e2y - d.y * e2x
@@ -467,82 +637,69 @@ def traverse_triangles_dynamic(
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = (
                 ok
-                & box_hit
-                & in_leaf
+                & viable
                 & (u >= 0)
                 & (u <= 1)
                 & (v >= 0)
                 & (u + v <= 1)
                 & (t >= t_min)
+                & (t < best_t)
             )
             if t_max is not None:
                 ok = ok & (t <= t_max)
-            obj_idx = trow(10).astype(jnp.int32)
             if exclude_obj is not None:
-                ok = ok & (exclude_obj != obj_idx)
-            better = ok & (t < best_t)
+                ok = ok & (exclude_obj != col(10, k).astype(jnp.int32))
 
-            # geometric normal = normalize(e1 x e2) (traced scalars)
+            # geometric normal from scalar cross product (scalar math)
             gnx = e1y * e2z - e1z * e2y
             gny = e1z * e2x - e1x * e2z
             gnz = e1x * e2y - e1y * e2x
             glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
             cnx, cny, cnz = gnx / glen, gny / glen, gnz / glen
-            # smooth shading (row flag col 11): interpolate vertex normals
-            # (cols 12-20) by the hit barycentrics
-            smooth = trow(11) > _F(0.5)
-            w0 = _F(1.0) - u - v
-            sx = w0 * trow(12) + u * trow(15) + v * trow(18)
-            sy = w0 * trow(13) + u * trow(16) + v * trow(19)
-            sz = w0 * trow(14) + u * trow(17) + v * trow(20)
-            slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
-            cnx = jnp.where(smooth, sx / slen, cnx)
-            cny = jnp.where(smooth, sy / slen, cny)
-            cnz = jnp.where(smooth, sz / slen, cnz)
+            if smooth:
+                # vertex-normal interpolation by the hit barycentrics
+                smf = col(11, k) > _F(0.5)  # traced scalar
+                w0 = _F(1.0) - u - v
+                sx = w0 * col(12, k) + u * col(15, k) + v * col(18, k)
+                sy = w0 * col(13, k) + u * col(16, k) + v * col(19, k)
+                sz = w0 * col(14, k) + u * col(17, k) + v * col(20, k)
+                slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
+                nxc = jnp.where(smf, sx / slen, cnx)
+                nyc = jnp.where(smf, sy / slen, cny)
+                nzc = jnp.where(smf, sz / slen, cnz)
+            else:
+                nxc, nyc, nzc = cnx, cny, cnz
 
-            sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
-            best_t = sel(t, best_t)
-            best_type = sel(OBJ_TRIANGLE, best_type)
-            best_mat = sel(trow(9).astype(jnp.int32), best_mat)
-            best_m = sel(obj_idx, best_m)
-            nx = sel(cnx, nx)
-            ny = sel(cny, ny)
-            nz = sel(cnz, nz)
+            sel = lambda a, b: jnp.where(ok, a, b)  # noqa: E731
+            return (
+                sel(t, best_t),
+                sel(col(9, k).astype(jnp.int32), best_mat),
+                sel(col(10, k).astype(jnp.int32), best_m),
+                sel(nxc, nx),
+                sel(nyc, ny),
+                sel(nzc, nz),
+            )
 
-        # cursor update: hit internal -> descend (n+1); anything else ->
-        # escape (miss_n; for a leaf miss_n == n+1 by the DFS invariant)
-        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
-        return c, (best_t, best_type, best_mat, best_m, nx, ny, nz)
+        # static trip count: padded slots are degenerate (det == 0) and
+        # reject themselves; dynamic trip counts compile to data-dependent
+        # whiles, which both XLA:TPU and Mosaic handle far worse
+        best = list(lax.fori_loop(0, PAGE_TRIS, tri_body, tuple(best)))
+        visits = visits + count
 
-    def body(carry):
-        n, visits, c = carry[0], carry[1], carry[2]
-        c, slim = _walk_step(n, c, carry[3:])
-        # global jump: the packet's next wanted node (done lanes sit at B)
-        return (jnp.min(c), visits + 1, c) + tuple(slim)
+        for j in range(w_n):
+            words[j] = words[j] & ~_scalar_word_bit(p, j)
+        p_next = jnp.min(_next_wanted(words, sent))
+        return (p_next, visits) + tuple(words) + tuple(best)
 
-    out = lax.while_loop(cond, body, carry0)
+    out = lax.while_loop(outer_cond, outer_body, carry0)
+    visits = out[1]
+    best_t, best_mat, best_m, nx, ny, nz = out[2 + w_n:]
 
-    # Divergent packets exhaust the jump budget; the lockstep tail sweeps
-    # the remaining DFS range with the SAME step body, the induction
-    # variable as the node index, and zero vector->scalar syncs.
-    def tail_body(i, carry):
-        c, slim = carry[0], carry[1:]
-        c, slim = _walk_step(i, c, slim)
-        return (c,) + tuple(slim)
-
-    n_start = out[0]
-    tail = lax.fori_loop(n_start, n_nodes, tail_body, (out[2],) + tuple(out[3:]))
-    visits = out[1] + jnp.maximum(n_nodes - n_start, 0)
-    best_t, best_type, best_mat, best_m, nx, ny, nz = tail[1:]
-
-    # --- post-walk material resolution (zero gathers) ---------------------
-    # Lanes the walk improved carry a triangle winner whose material
-    # constants are selected here by one static unroll over the material
-    # table; all other winner-chain fields pass through untouched.
-    improved = best_type == OBJ_TRIANGLE
+    # ---- merge into the winner chain + static material unroll ----
+    improved = best_t < state["best_t"]
     st = dict(state)
     st["best_t"] = jnp.where(improved, best_t, state["best_t"])
-    st["best_type"] = jnp.where(improved, best_type, state["best_type"])
+    st["best_type"] = jnp.where(improved, OBJ_TRIANGLE, state["best_type"])
     st["nx"] = jnp.where(improved, nx, state["nx"])
     st["ny"] = jnp.where(improved, ny, state["ny"])
     st["nz"] = jnp.where(improved, nz, state["nz"])
@@ -550,8 +707,8 @@ def traverse_triangles_dynamic(
         st["best_m"] = jnp.where(improved, best_m, state["best_m"])
         st["best_mat"] = jnp.where(improved, best_mat, state["best_mat"])
 
-    n_mats = pack.n_materials
-    for mi in range(n_mats):
+    mat = pack.mat
+    for mi in range(pack.n_materials):
         m_mask = improved & (best_mat == mi)
         msel = lambda a, b: jnp.where(m_mask, a, b)  # noqa: E731
         st["best_mtyp"] = msel(pack.mat_types[mi], st["best_mtyp"])
@@ -584,74 +741,55 @@ def traverse_triangles_dynamic(
     return st, visits
 
 
-def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
-    """Any-hit packet walk for shadow rays: same cursor scheme, boolean
-    result only; lanes already blocked want no more nodes."""
-    nodes = pack.bvh_nodes
-    bounds = pack.bvh_bounds
-    tri = pack.tri
-    n_nodes = pack.bvh.n_nodes if pack.bvh is not None else 0
-    if n_nodes == 0:
+def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
+    """Any-hit paged traversal for shadow rays: same phases, boolean
+    result.  Already-blocked lanes skip the top walk entirely; a lane
+    that finds any hit drops its remaining pages."""
+    paged: PagedBvh = pack.paged
+    if paged is None or paged.n_pages == 0:
         return blocked
+    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
+    zero_i = _lane_zero_i32(o.x)
+    n_pages = paged.n_pages
+    sent = jnp.int32(n_pages)
+    big = jnp.full(o.x.shape, _F(3e38))
 
-    inv_dx = _F(1.0) / d.x
-    inv_dy = _F(1.0) / d.y
-    inv_dz = _F(1.0) / d.z
+    words, _tv = _top_walk(o, d, inv, pack, t_min, big, t_max=t_max, skip=blocked)
 
-    cursor0 = _lane_zero_i32(o.x)
-    # blocked rides the carry as i32: Mosaic cannot legalize i1 vectors in
-    # scf.while carries; the +cursor0 keeps the init un-splat
-    carry0 = (
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),  # jump-phase visit count
-        cursor0,
-        blocked.astype(jnp.int32) + cursor0,
-    )
+    w_n = paged.mask_words
+    blk0 = blocked.astype(jnp.int32) + zero_i
+    p0 = jnp.min(_next_wanted(words, sent))
+    carry0 = (p0,) + tuple(words) + (blk0,)
 
-    jump_rate, jump_grace = _jump_gate(tri)
+    def outer_cond(carry):
+        return carry[0] < n_pages
 
-    def cond(carry):
-        n, visits = carry[0], carry[1]
-        ahead = (visits < jump_grace) | (n >= visits * jump_rate)
-        return (n < n_nodes) & ahead
+    def outer_body(carry):
+        p = carry[0]
+        words = list(carry[1:1 + w_n])
+        blk = carry[1 + w_n]
 
-    def body(carry):
-        n, visits, c, blocked_i = carry
-        c, blocked = _walk_step(n, c, blocked_i > 0)
-        return (jnp.min(c), visits + 1, c, blocked.astype(jnp.int32))
-
-    def _walk_step(n, c, blocked):
-        node = _row_reader(nodes, n)
-        miss_n = node(0)
-        first = node(1)
-        count = node(2)
-        bb = _row_reader(bounds, n)
-
-        active = (c == n) & ~blocked
-        t1x = (bb(0) - o.x) * inv_dx
-        t2x = (bb(3) - o.x) * inv_dx
-        t1y = (bb(1) - o.y) * inv_dy
-        t2y = (bb(4) - o.y) * inv_dy
-        t1z = (bb(2) - o.z) * inv_dz
-        t2z = (bb(5) - o.z) * inv_dz
-        t0 = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
+        part = zero_i
+        for j in range(w_n):
+            part = part | (words[j] & _scalar_word_bit(p, j))
+        bb = _row_reader(pack.page_bbox, p)
+        pt0, pt1 = _slab_scalars(o, inv, bb(0), bb(1), bb(2), bb(3), bb(4), bb(5))
+        viable = (
+            (part != 0)
+            & (blk == 0)
+            & (pt1 >= pt0)
+            & (pt1 >= t_min)
+            & (pt0 <= t_max)
         )
-        t1 = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
-        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 <= t_max)
+        count = bb(6).astype(jnp.int32)
+        base = p * PAGE_TRIS
 
-        is_leaf = count > 0
-        readers = _leaf_readers(tri, jnp.where(is_leaf, first, 0))
-        for k in range(LEAF_SIZE):
-            in_leaf = is_leaf & (k < count)
-            trow = readers[k]
-            v0x, v0y, v0z = trow(0), trow(1), trow(2)
-            e1x, e1y, e1z = trow(3), trow(4), trow(5)
-            e2x, e2y, e2z = trow(6), trow(7), trow(8)
+        def tri_body(k, blk):
+            col2 = _row_reader(pack.page_tris, base + k)
+            col = lambda a, _k: col2(a)  # noqa: E731
+            v0x, v0y, v0z = col(0, k), col(1, k), col(2, k)
+            e1x, e1y, e1z = col(3, k), col(4, k), col(5, k)
+            e2x, e2y, e2z = col(6, k), col(7, k), col(8, k)
             px = d.y * e2z - d.z * e2y
             py = d.z * e2x - d.x * e2z
             pz = d.x * e2y - d.y * e2x
@@ -667,8 +805,7 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             hit = (
                 ok
-                & box_hit
-                & in_leaf
+                & viable
                 & (u >= 0)
                 & (u <= 1)
                 & (v >= 0)
@@ -676,19 +813,15 @@ def occluded_triangles_dynamic(o: V3, d: V3, pack, t_min, t_max, blocked):
                 & (t >= t_min)
                 & (t <= t_max)
             )
-            blocked = blocked | hit
+            return blk | hit.astype(jnp.int32)
 
-        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, n + 1, miss_n), c)
-        c = jnp.where(blocked, jnp.int32(n_nodes), c)  # blocked lanes are done
-        return c, blocked
+        blk = lax.fori_loop(0, PAGE_TRIS, tri_body, blk)
 
-    out = lax.while_loop(cond, body, carry0)
+        for j in range(w_n):
+            words[j] = words[j] & ~_scalar_word_bit(p, j)
+            words[j] = jnp.where(blk != 0, 0, words[j])  # blocked: drop out
+        p_next = jnp.min(_next_wanted(words, sent))
+        return (p_next,) + tuple(words) + (blk,)
 
-    # lockstep tail for divergent packets (see traverse_triangles_dynamic)
-    def tail_body(i, carry):
-        c, blocked_i = carry
-        c, blocked = _walk_step(i, c, blocked_i > 0)
-        return (c, blocked.astype(jnp.int32))
-
-    tail = lax.fori_loop(out[0], n_nodes, tail_body, (out[2], out[3]))
-    return tail[1] > 0
+    out = lax.while_loop(outer_cond, outer_body, carry0)
+    return out[1 + w_n] != 0

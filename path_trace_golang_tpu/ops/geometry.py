@@ -204,7 +204,7 @@ def intersect_world(
         )
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
-            state, _visits = bvh_mod.traverse_triangles_dynamic(
+            state, _visits = bvh_mod.traverse_triangles_paged(
                 o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
             )
             return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
@@ -331,7 +331,7 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
         from . import bvh as bvh_mod
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
-            return bvh_mod.occluded_triangles_dynamic(
+            return bvh_mod.occluded_triangles_paged(
                 o, d, pack, _F(t_min), t_max, blocked
             )
 

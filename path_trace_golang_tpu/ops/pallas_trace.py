@@ -53,7 +53,12 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
         return False
     if shape[0] % _block_rows(shape, getattr(cfg, "max_depth", 12)) != 0:
         return False
-    if pack.n_triangles > 32768:  # VMEM budget for the BVH tables (bvh.py)
+    # VMEM budget for the paged triangle table: lane padding makes a
+    # (P*128, 24) f32 table cost P*64KB of VMEM, so ~96 pages (~12k
+    # triangles) is the comfortable ceiling next to the lane state.
+    # Larger meshes fall back to the XLA path (ROADMAP: HBM-resident
+    # pages DMA'd into a VMEM scratch remove this ceiling).
+    if pack.n_triangles > 96 * 128:
         return False
     if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
         return False
@@ -98,7 +103,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         fog_ref,
         tri_ref,
         bvh_ref,
-        bvh_nodes_ref,
+        top_ref,
+        ptri_ref,
+        pbox_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -122,7 +129,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
-            bvh_nodes=bvh_nodes_ref,
+            top_tab=top_ref,
+            page_tris=ptri_ref,
+            page_bbox=pbox_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -134,16 +143,11 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    # Small BVH tables stay in SMEM (fast scalar-indexed fetches for the
-    # dynamic walk); big meshes move them to VMEM, where ~32k triangles
-    # at 24 floats each fit comfortably but scalar-indexed row fetches
-    # are slower — the SMEM/VMEM split keeps the common case fast and
-    # removes the round-2 2k-triangle eligibility cliff.
-    table = (
-        smem
-        if pack.n_triangles <= SMEM_TRI_MAX
-        else (lambda: pl.BlockSpec(memory_space=pltpu.VMEM))
-    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    # The static unrolled walk's tri/bounds tables ride in SMEM (they are
+    # tiny: <= STATIC_TRI_MAX rows, scalar-fetched); the paged walk's
+    # lane-width tables are vector-gathered and always live in VMEM.
+    table = smem if pack.n_triangles <= SMEM_TRI_MAX else vmem
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -166,7 +170,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # fog
             table(),  # tri
             table(),  # bvh_bounds
-            table(),  # bvh_nodes
+            vmem(),  # top_tab
+            vmem(),  # page_tris
+            vmem(),  # page_bbox
             lane_in,
             lane_in,
             lane_in,
@@ -192,7 +198,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
-        pack.bvh_nodes,
+        pack.top_tab,
+        pack.page_tris,
+        pack.page_bbox,
         orig.x,
         orig.y,
         orig.z,
@@ -248,7 +256,9 @@ def render_pass_pallas(
         fog_ref,
         tri_ref,
         bvh_ref,
-        bvh_nodes_ref,
+        top_ref,
+        ptri_ref,
+        pbox_ref,
         seed_ref,
         px_ref,
         py_ref,
@@ -267,7 +277,9 @@ def render_pass_pallas(
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
-            bvh_nodes=bvh_nodes_ref,
+            top_tab=top_ref,
+            page_tris=ptri_ref,
+            page_bbox=pbox_ref,
         )
         col, segs = render_mod.pass_body_grid(
             pack_k,
@@ -290,16 +302,11 @@ def render_pass_pallas(
         seg_ref[pl.program_id(0), 0] = segs
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
-    # Small BVH tables stay in SMEM (fast scalar-indexed fetches for the
-    # dynamic walk); big meshes move them to VMEM, where ~32k triangles
-    # at 24 floats each fit comfortably but scalar-indexed row fetches
-    # are slower — the SMEM/VMEM split keeps the common case fast and
-    # removes the round-2 2k-triangle eligibility cliff.
-    table = (
-        smem
-        if pack.n_triangles <= SMEM_TRI_MAX
-        else (lambda: pl.BlockSpec(memory_space=pltpu.VMEM))
-    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    # The static unrolled walk's tri/bounds tables ride in SMEM (they are
+    # tiny: <= STATIC_TRI_MAX rows, scalar-fetched); the paged walk's
+    # lane-width tables are vector-gathered and always live in VMEM.
+    table = smem if pack.n_triangles <= SMEM_TRI_MAX else vmem
     lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -321,7 +328,9 @@ def render_pass_pallas(
             smem(),  # fog
             table(),  # tri
             table(),  # bvh_bounds
-            table(),  # bvh_nodes
+            vmem(),  # top_tab
+            vmem(),  # page_tris
+            vmem(),  # page_bbox
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
@@ -342,7 +351,9 @@ def render_pass_pallas(
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
-        pack.bvh_nodes,
+        pack.top_tab,
+        pack.page_tris,
+        pack.page_bbox,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,

@@ -113,9 +113,12 @@ class ScenePack:
     tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     tri_smooth: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
-    # dynamic-walk topology tables (bvh.py traverse_triangles_dynamic):
-    # per node [miss, first, count]
-    bvh_nodes: Optional[jax.Array] = None  # i32[max(B,1), 3]
+    # paged-sweep tables (bvh.py traverse_triangles_paged; built when the
+    # triangle count routes to the dynamic walk):
+    top_tab: Optional[jax.Array] = None    # f32[max(nt,1), 8]
+    page_tris: Optional[jax.Array] = None  # f32[max(P*128,1), N_TRI_ATTRS]
+    page_bbox: Optional[jax.Array] = None  # f32[max(P,1), 8]
+    paged: object = dataclasses.field(default=None, metadata=dict(static=True))
     # defocus model (scene camera extension, PHYSICS.md Q4): False =
     # reference's faithful unit-ball bokeh, True = thin-lens disk
     lens_disk: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -368,44 +371,50 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             f"scene has {o_count + t_count} objects+triangles; float32 "
             "index columns in the triangle table are exact only below 2^24"
         )
+    topo = None
+    paged = None
+    bvh_bounds = np.zeros((1, 6), np.float32)
+    tri_rows = np.zeros((1, 24), np.float32)
+    top_tab = np.zeros((1, 8), np.float32)
+    page_tris = np.zeros((1, 24), np.float32)
+    page_bbox = np.zeros((1, 8), np.float32)
     if t_count:
-        from .ops.bvh import build_bvh
+        from .ops.bvh import LEAF_SIZE, build_bvh, build_paged_bvh, use_dynamic_walk
 
         v0 = np.asarray(tri_v0)
         e1 = np.asarray(tri_e1)
         e2 = np.asarray(tri_e2)
-        topo, bvh_bounds = build_bvh(v0, e1, e2)
-        from .ops.bvh import LEAF_SIZE
-
-        # One 12-float row per BVH-ordered triangle holds EVERYTHING a
-        # leaf visit needs — geometry (v0, e1, e2), material index and
-        # global object index as exact small floats — so the dynamic
-        # packet walk fetches a whole leaf with ONE dynamic slice (the
-        # walk is bound by the latency of scalar-indexed fetches, PERF.md
-        # round 3).  LEAF_SIZE zero rows of padding keep the slice
-        # in-bounds for the last leaf.
-        tri_rows = np.zeros((t_count + LEAF_SIZE, 24), np.float32)
-        for bvh_i, orig in enumerate(topo.order):
-            tri_rows[bvh_i, 0:3] = v0[orig]
-            tri_rows[bvh_i, 3:6] = e1[orig]
-            tri_rows[bvh_i, 6:9] = e2[orig]
-            tri_rows[bvh_i, 9] = float(tri_mat_list[orig])
-            tri_rows[bvh_i, 10] = float(o_count + orig)
-            if tri_smooth_list[orig]:
-                n0, n1, n2 = tri_vn[orig]
-                tri_rows[bvh_i, 11] = 1.0
-                tri_rows[bvh_i, 12:15] = n0
-                tri_rows[bvh_i, 15:18] = n1
-                tri_rows[bvh_i, 18:21] = n2
-        bvh_nodes = np.stack(
-            [np.asarray(topo.miss), np.asarray(topo.first), np.asarray(topo.count)],
-            axis=-1,
-        ).astype(np.int32)
-    else:
-        topo = None
-        bvh_bounds = np.zeros((1, 6), np.float32)
-        tri_rows = np.zeros((1, 24), np.float32)
-        bvh_nodes = np.zeros((1, 3), np.int32)
+        if use_dynamic_walk(t_count):
+            # Paged page-sweep traversal (bvh.py round-3 redesign): a top
+            # tree marks wanted pages; pages sweep their triangle slots
+            # vectorized with scalar triangle data.
+            paged, top_tab, page_tris, page_bbox = build_paged_bvh(
+                v0,
+                e1,
+                e2,
+                tri_mat_list,
+                [o_count + i for i in range(t_count)],
+                tri_smooth_list,
+                tri_vn,
+            )
+        else:
+            # Static unrolled walk: one 24-float row per BVH-ordered
+            # triangle (geometry, material/object indices as exact small
+            # floats, vertex normals); LEAF_SIZE zero rows of padding.
+            topo, bvh_bounds = build_bvh(v0, e1, e2)
+            tri_rows = np.zeros((t_count + LEAF_SIZE, 24), np.float32)
+            for bvh_i, orig in enumerate(topo.order):
+                tri_rows[bvh_i, 0:3] = v0[orig]
+                tri_rows[bvh_i, 3:6] = e1[orig]
+                tri_rows[bvh_i, 6:9] = e2[orig]
+                tri_rows[bvh_i, 9] = float(tri_mat_list[orig])
+                tri_rows[bvh_i, 10] = float(o_count + orig)
+                if tri_smooth_list[orig]:
+                    n0, n1, n2 = tri_vn[orig]
+                    tri_rows[bvh_i, 11] = 1.0
+                    tri_rows[bvh_i, 12:15] = n0
+                    tri_rows[bvh_i, 15:18] = n1
+                    tri_rows[bvh_i, 18:21] = n2
 
     return ScenePack(
         mat=jax.numpy.asarray(mat),
@@ -427,6 +436,9 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         tri_mats=tuple(tri_mat_list),
         tri_smooth=tuple(tri_smooth_list),
         bvh=topo,
-        bvh_nodes=jax.numpy.asarray(bvh_nodes),
+        top_tab=jax.numpy.asarray(top_tab),
+        page_tris=jax.numpy.asarray(page_tris),
+        page_bbox=jax.numpy.asarray(page_bbox),
+        paged=paged,
         lens_disk=(getattr(sc.camera, "lens", "ball") == "disk"),
     )

@@ -256,7 +256,10 @@ def test_dynamic_walk_matches_static():
     h_static = jax.jit(lambda o, d: geometry.intersect_world(o, d, pack))(o, d)
     os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
     try:
-        h_dyn = jax.jit(lambda o, d: geometry.intersect_world(o, d, pack))(o, d)
+        # re-pack under the env flag: pack_scene builds the paged tables
+        # only when the scene routes to the dynamic walk
+        pack_dyn = pack_scene(sc)
+        h_dyn = jax.jit(lambda o, d: geometry.intersect_world(o, d, pack_dyn))(o, d)
     finally:
         del os.environ["PATHTRACER_BVH_DYNAMIC"]
 
@@ -298,7 +301,8 @@ def test_dynamic_walk_occlusion_matches_static():
     b_static = jax.jit(lambda o, d: geometry.occluded(o, d, pack, 1e-3, 8.0))(o, d)
     os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
     try:
-        b_dyn = jax.jit(lambda o, d: geometry.occluded(o, d, pack, 1e-3, 8.0))(o, d)
+        pack_dyn = pack_scene(sc)
+        b_dyn = jax.jit(lambda o, d: geometry.occluded(o, d, pack_dyn, 1e-3, 8.0))(o, d)
     finally:
         del os.environ["PATHTRACER_BVH_DYNAMIC"]
     assert np.array_equal(np.asarray(b_static), np.asarray(b_dyn))
@@ -341,15 +345,17 @@ def test_large_mesh_routes_to_dynamic_walk_and_renders():
 
 
 def test_dynamic_walk_visits_sublinear_for_coherent_packet():
-    """The global-jump cursor skips subtrees the whole packet misses: a
-    tight coherent packet must visit far fewer nodes than the tree has."""
+    """The paged walk skips pages the whole packet misses: a tight
+    coherent packet must visit far less than the full per-page budget."""
     import jax
 
     from path_trace_golang_tpu.ops import bvh as bvh_mod
 
     sc = _random_tri_scene(512, seed=2, lo=-20, hi=20)
     pack = pack_scene(sc)
-    n_nodes = pack.bvh.n_nodes
+    # visit budget if nothing were skipped: every page's full node count
+    # plus the whole top tree
+    n_nodes = pack.paged.n_pages * 255 + pack.paged.n_top
 
     shape = (2, 128)
     o = V3(jnp.full(shape, -30.0), jnp.zeros(shape), jnp.zeros(shape))
@@ -381,7 +387,7 @@ def test_dynamic_walk_visits_sublinear_for_coherent_packet():
         nz=jnp.zeros(shape),
     )
     _st, visits = jax.jit(
-        lambda o, d: bvh_mod.traverse_triangles_dynamic(o, d, pack, 1e-3, state)
+        lambda o, d: bvh_mod.traverse_triangles_paged(o, d, pack, 1e-3, state)
     )(o, d)
     visits = int(visits)
     assert visits < n_nodes // 2, (visits, n_nodes)

@@ -1,18 +1,15 @@
-"""BVH scaling benchmark: >=10k-triangle mesh through the hybrid walk.
+"""BVH scaling benchmark: >=10k-triangle mesh through the paged walk.
 
-VERDICT round-1 item 6 asked for evidence that the BVH traversal scales
-past the unrolled O(nodes) walk: this benchmark builds a ~10k-triangle UV
--sphere mesh (far above the 128-triangle static-unroll cliff), renders it
-end-to-end (the Pallas kernel holds the BVH tables in VMEM at this size),
-and measures the hybrid walk's node-visit counts directly:
+Builds a ~10k-triangle UV-sphere mesh (far above the 128-triangle
+static-unroll cliff), renders it end-to-end (the Pallas kernel holds the
+paged tables in VMEM at this size), and measures the paged walk's
+iteration counts directly:
 
-* coherent packets (camera rays of one tile) stay in the jump phase and
-  visit a small fraction of the tree — the global-jump cursor skips
-  subtrees no lane wants;
-* incoherent packets (random rays) fall behind the jump phase's
-  break-even rate and finish on the sync-free lockstep tail, so their
-  count approaches n_nodes — the bounded worst case, by design
-  (PERF.md round 3).
+* coherent packets (camera rays of one tile) want few pages and take
+  short per-lane walks inside them;
+* incoherent packets (random rays) want most pages — the bounded worst
+  case is the per-page iteration budget, not the node count, because
+  every lane walks its own cursor within a page (PERF.md round 4).
 
 Usage: python tools/perf/bvh_bench.py [n_lat] [n_lon]
 Defaults build 2*80*64 = 10,240 triangles.
@@ -58,6 +55,21 @@ def uv_sphere(n_lat: int, n_lon: int, center=(0.0, 1.0, 0.0), radius=1.0):
 
 
 def main() -> int:
+    import os
+    import subprocess
+
+    # The walk-iteration counting runs the XLA (non-Pallas) path, which
+    # the axon remote compiler takes tens of minutes on; a plain-CPU
+    # subprocess (JAX_PLATFORMS=cpu skips the remote compile helper
+    # entirely) compiles it in seconds.
+    if "--counts" not in sys.argv and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        r = subprocess.run(
+            [sys.executable, __file__, "--counts"] + [a for a in sys.argv[1:]],
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        if r.returncode:
+            return r.returncode
+
     from path_trace_golang_tpu import render as render_mod
     from path_trace_golang_tpu.ops import bvh as bvh_mod
     from path_trace_golang_tpu.ops.camera import camera_rays
@@ -66,8 +78,10 @@ def main() -> int:
     from path_trace_golang_tpu.scene import model as M
     from path_trace_golang_tpu.soa import pack_scene
 
-    n_lat = int(sys.argv[1]) if len(sys.argv) > 1 else 80
-    n_lon = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    args = [a for a in sys.argv[1:] if a != "--counts"]
+    counts_only = "--counts" in sys.argv
+    n_lat = int(args[0]) if len(args) > 0 else 80
+    n_lon = int(args[1]) if len(args) > 1 else 64
     verts, faces = uv_sphere(n_lat, n_lon)
 
     sc = M.Scene(
@@ -106,12 +120,17 @@ def main() -> int:
 
     w = h = 512
     pack = pack_scene(sc, w, h)
-    n_nodes = pack.bvh.n_nodes
+    paged = pack.paged
+    n_nodes = paged.n_pages * 255 + paged.n_top  # full per-page visit budget
     print(
-        f"mesh: {pack.n_triangles} triangles, {n_nodes} BVH nodes "
-        f"(dynamic walk: {bvh_mod.use_dynamic_walk(pack.n_triangles)})"
+        f"mesh: {pack.n_triangles} triangles, {paged.n_pages} pages, "
+        f"{paged.n_top} top nodes (paged walk: {bvh_mod.use_dynamic_walk(pack.n_triangles)})"
     )
     assert pack.n_triangles >= 10_000, "benchmark wants >= 10k triangles"
+    if not counts_only:
+        # counting already ran in the CPU subprocess; go straight to the
+        # end-to-end Pallas render
+        return _render_bench(sc, w, h)
 
     # ---- node-visit counts of the packet walk -------------------------
     rows = 32  # one 4096-lane packet
@@ -139,7 +158,7 @@ def main() -> int:
             b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
             b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz), nx=fz, ny=fz, nz=fz,
         )
-        _st, visits = bvh_mod.traverse_triangles_dynamic(
+        _st, visits = bvh_mod.traverse_triangles_paged(
             o, d, pack, jnp.float32(0.001), state
         )
         return visits
@@ -160,17 +179,24 @@ def main() -> int:
     incoherent = int(jcount(o, d))
 
     print(
-        f"node visits per 4096-lane packet: coherent {coherent:.0f} "
-        f"({coherent / n_nodes:.1%} of nodes), incoherent {incoherent} "
-        f"({incoherent / n_nodes:.1%})"
+        f"walk iterations per 4096-lane packet (of {n_nodes} budget): "
+        f"coherent {coherent:.0f} ({coherent / n_nodes:.1%}), "
+        f"incoherent {incoherent} ({incoherent / n_nodes:.1%})",
+        flush=True,
     )
 
+    return 0
+
+
+def _render_bench(sc, w, h) -> int:
     # ---- end-to-end render speed --------------------------------------
     import path_trace_golang_tpu as pt
 
     renderer = pt.Renderer(contract="gpu", seed=3)
     cfg = pt.RenderConfig(w, h, 1, 8)
+    t0 = time.perf_counter()
     renderer.render(sc, cfg)  # warm/compile
+    print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     img = renderer.render(sc, cfg)
     dt = time.perf_counter() - t0
