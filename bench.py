@@ -60,10 +60,12 @@ def main() -> int:
 
     renderer = pt.Renderer(contract="gpu", seed=1)
 
-    # warmup / compile
+    # warmup / compile — tracked in the JSON artifact (compile_s) so the
+    # cold-start cost is a budgeted number across rounds, not a silent tax
     t0 = time.perf_counter()
     renderer.render(sc, pt.RenderConfig(width, height, warm_passes, max_depth))
-    print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"warmup+compile: {compile_s:.1f}s", file=sys.stderr)
 
     # timed run
     renderer = pt.Renderer(contract="gpu", seed=2)
@@ -89,6 +91,7 @@ def main() -> int:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "compile_s": round(compile_s, 1),
             }
         )
     )

@@ -14,14 +14,15 @@ layout, chosen by mesh size:
   every leaf's Möller–Trumbore unroll into straight-line VPU code with
   traced-scalar vertices: zero gathers, maximal fusion, but instruction
   count grows with node count (the round-1 128-triangle Pallas cliff).
-* **Paged page-sweep traversal** (``traverse_triangles_paged``, large
-  meshes) — the tree is cut into pages of <= PAGE_TRIS triangles; a
-  packet-lockstep top walk marks each lane's wanted pages in a bitmask,
-  and wanted pages are swept with vectorized Möller–Trumbore over
-  scalar-broadcast triangle rows (one dynamic-sublane row fetch per
-  triangle — the only dynamic-memory-access pattern Mosaic makes fast).
-  Divergent packets cost the union of PAGES, not NODES; see the banner
-  at the paged section below and PERF.md round 4.
+* **Dense paged sweep** (``traverse_triangles_paged``, large meshes) —
+  the tree is cut into pages of <= PAGE_TRIS triangles; a STATIC unroll
+  of page-bbox slab tests (bounds as compile-time immediates) marks each
+  lane's wanted pages in bitmask words, and each wanted page is swept as
+  a dense (triangle, ray) cross tile: triangles on sublanes, rays on
+  lanes, precomputed plane/barycentric-dual constants, one dynamic tile
+  fetch per page and zero loop-carried row fetches.  Divergent packets
+  cost the packet union of PAGES, not NODES; see the banner at the
+  paged section below and PERF.md round 5.
 """
 
 from __future__ import annotations
@@ -293,86 +294,75 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
 
 
 
-
 # ---------------------------------------------------------------------------
-# Paged page-sweep traversal (large meshes) — the round-3 redesign
+# Dense paged sweep (large meshes) — the round-3 redesign, v2
 # ---------------------------------------------------------------------------
 #
-# The round-2 "hybrid packet walk" processed ONE node per step for the
-# whole packet, so a divergent packet (e.g. cosine/GGX bounce rays off a
-# mesh) degenerated to a full-tree sweep with LEAF_SIZE masked
-# Möller–Trumbore tests at every visit — measured 0.2-0.9 Mrays/s at 10k
-# triangles vs 250-307 on the reference scenes (VERDICT r2).
+# History of this section (PERF.md has the measurements):
+#   round 2  "hybrid packet walk" — one node per lockstep step, LEAF_SIZE
+#            masked Möller–Trumbore tests per visit.  Divergent bounce
+#            packets degenerated to a full-tree sweep: 0.2-0.9 Mrays/s at
+#            10k triangles.
+#   round 3a "paged page-sweep" — a packet-lockstep top walk marked
+#            wanted <=128-triangle pages in per-lane bitmasks; wanted
+#            pages were swept one triangle ROW at a time (fori over 128
+#            dynamic-sublane row fetches).  Correct, but both phases were
+#            sequential fine-grained loops at ~1 us/iteration: still
+#            ~0.5 Mrays/s end-to-end.
+#   round 3b (this design) — remove BOTH sequential loops:
 #
-# Round-3 re-design, after measuring the candidate primitives on v5e
-# (PERF.md round 4): per-lane gathers (`jnp.take_along_axis` along
-# lanes) DO compile in Mosaic but cost ~100-400 ns per lane-grid — far
-# too slow to fetch 10+ node attributes per per-lane walk step.  What
-# IS cheap is (a) scalar/row fetches at traced indices and (b) straight
-# vectorized arithmetic with scalar-broadcast operands — exactly the
-# static unrolled walk's diet.  So the paged design keeps the per-lane
-# part where it is free and the vector part where it is dense:
+#   * page marking is a STATIC UNROLL of slab tests against every page's
+#     bbox, whose bounds are compile-time scalar immediates
+#     (PagedBvh.page_bounds).  A page bbox is contained in all its
+#     ancestors' boxes, so testing pages directly is exactly as
+#     selective as walking the tree above them — the top tree is gone.
+#     Cost: ~22 VPU ops per page on the lane grid, zero iterations.
+#   * a wanted page is swept DENSELY: its 128 triangles ride the
+#     SUBLANE axis, 128 rays ride the LANE axis, and one (128,128)
+#     vector op per arithmetic step tests every (triangle, ray) pair of
+#     the tile.  Triangle data arrives as (128,1) attribute columns cut
+#     from one (PAGE_TRIS, 32) page tile fetched per visit — one
+#     dynamic fetch per PAGE instead of one per triangle.  The
+#     intersection uses precomputed plane + barycentric-dual constants
+#     (see build_paged_bvh): ~31 ops per pair vs ~43 for classic
+#     Möller–Trumbore from raw v0/e1/e2.
+#   * the page loop carries only a per-ray WINNER KEY: the hit t's f32
+#     bits with the low 7 bits replaced by the triangle's page slot
+#     (monotone in t for t > 0 — the float-ordering trick; ties within
+#     2^-16 relative resolve by slot order, which also makes shared-edge
+#     double hits unambiguous).  Attribute extraction happens ONCE per
+#     sweep in a post-resolve pass over WINNING pages only, not per
+#     visited page.
 #
-#   phase 1  top walk: packet-lockstep escape-link walk over the
-#            <= 2*n_pages-1 supernodes (scalar cursor, strictly
-#            advancing global min => at most n_top iterations) marks a
-#            per-lane BITMASK of wanted pages — per-lane culling at
-#            page granularity costs a few bit ops per top leaf;
-#   phase 2  pages are visited in ascending order via a min-cursor over
-#            the packet's next wanted page; a visited page is swept:
-#            every triangle slot gets one vectorized Möller–Trumbore
-#            test with scalar triangle data (fori over slots — the same
-#            op diet as the static walk, zero gathers).  Smooth vertex
-#            normals interpolate inline at the winning test (vn rides
-#            the same page row).
-#
-# Divergence costs the packet-level union of PAGES (~n_pages) instead
-# of the union of NODES (~2T); the worst case is the brute-force sweep
-# of every page, which is exactly the arithmetic floor of a SIMD
-# machine with no cheap per-lane memory access.  Coherent packets sweep
-# only the few pages their rays traverse.
+# Divergence cost is the packet-level union of wanted PAGES — the
+# arithmetic floor for a SIMD machine with no cheap per-lane memory
+# access — and every term is dense vector work with no loop-carried
+# fetch latency.  Replaces the linear object scan the reference uses
+# for every primitive (gpu.go:708-740) at mesh scale.
 
-PAGE_TRIS = 128          # triangle slots per page
+PAGE_TRIS = 128          # triangle slots per page (= lane width)
 MASK_BITS = 30           # usable bits per i32 mask word (sign bit avoided)
-# page_tris is triangle-major — f32[P * PAGE_TRIS, N_TRI_ATTRS] — because
-# Mosaic supports dynamic-SUBLANE row fetches from VMEM but not scalar
-# loads at dynamic LANE offsets ("cannot statically prove that index ...
-# is a multiple of 128"); one row fetch per triangle is the round-2
-# leaf-fetch pattern that measured fast.  Row layout:
-#   0-2 v0 | 3-5 e1 | 6-8 e2 | 9 mat | 10 obj | 11 smooth | 12-20 vn0/1/2
-N_TRI_ATTRS = 24  # 21 used + pad for tidy strides
+N_PAGE_ATTRS = 32        # page tile columns:
+# 0-2 unit geometric normal n | 3 d_plane = n.v0 | 4-6 m1 | 7 c1 |
+# 8-10 m2 | 11 c2 | 12 mat | 13 obj | 14 smooth | 15 valid |
+# 16-18 vn0 | 19-21 vn1 | 22-24 vn2 | 25-31 pad
+# where m1 = e2 x n_raw / |n_raw|^2 and m2 = n_raw x e1 / |n_raw|^2 are
+# the barycentric duals (u = m1.h + c1, v = m2.h + c2 at plane point h),
+# c1 = -m1.v0, c2 = -m2.v0.
 
-
-def _link_escapes(nodes, root_escape):
-    """Fill DFS escape links in-place for a [lo, hi, miss, leaf] node list.
-
-    Two passes: subtree sizes, then ``miss[i] = index after i's subtree``
-    (the same invariant the round-1 build used: a missed subtree resumes
-    at ``i + size(i)``)."""
-    n = len(nodes)
-    size = [1] * n
-
-    def compute_size(i):
-        if nodes[i][3] >= 0:  # leaf
-            return 1
-        ls = compute_size(i + 1)
-        rs = compute_size(i + 1 + ls)
-        size[i] = 1 + ls + rs
-        return size[i]
-
-    if n:
-        compute_size(0)
-    for i in range(n):
-        nodes[i][2] = i + size[i] if i + size[i] < n else root_escape
+_KEY_SLOT_MASK = 0x7F    # low bits of the winner key carry the page slot
 
 
 @dataclasses.dataclass(frozen=True)
 class PagedBvh:
-    """Static (hashable) metadata of the paged layout."""
+    """Static (hashable) metadata of the paged layout.
+
+    ``page_bounds`` bakes every page bbox into the traced code as scalar
+    immediates (tuple of (lox,loy,loz,hix,hiy,hiz) per page)."""
 
     n_pages: int
-    n_top: int           # top-tree node count (escape-linked DFS)
     any_smooth: bool     # any triangle interpolates vertex normals
+    page_bounds: Tuple[Tuple[float, float, float, float, float, float], ...]
 
     @property
     def mask_words(self) -> int:
@@ -388,16 +378,15 @@ def build_paged_bvh(
     tri_smooth,
     tri_vn,
 ):
-    """Median-split paged BVH build (host NumPy).
+    """Median-split paged BVH build (host NumPy, float64 precompute).
 
     v0/e1/e2: f64[T,3]; tri_mat/tri_obj: per-triangle material index and
     global object id; tri_smooth: per-triangle bool; tri_vn: per-triangle
     (n0,n1,n2) vertex normals or None.
 
     Returns (paged: PagedBvh,
-             top_tab    f32[n_top, 8]                  [lo3, hi3, miss, page|-1],
-             page_tris  f32[P * PAGE_TRIS, N_TRI_ATTRS] see layout above,
-             page_bbox  f32[P, 8]                      [lo3, hi3, count, pad])
+             page_tiles f32[P, PAGE_TRIS, N_PAGE_ATTRS],
+             page_bbox  f32[P, 8]   [lo3, hi3, count, pad])
     """
     t = v0.shape[0]
     lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
@@ -409,9 +398,8 @@ def build_paged_bvh(
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         order = np.argsort(c[:, axis], kind="stable")
         # split near the median but ALIGNED to the page capacity, so the
-        # leaves of the cut are (almost all) full pages — the sweep runs
-        # a fixed PAGE_TRIS trip count, so half-empty pages would waste
-        # real arithmetic on padded degenerate slots
+        # cut's leaves come out (almost all) full pages — the dense sweep
+        # pays for every slot, so half-empty pages waste real arithmetic
         n = len(idxs)
         half = round(n / 2 / PAGE_TRIS) * PAGE_TRIS
         half = max(PAGE_TRIS, min(half, n - 1))
@@ -419,64 +407,65 @@ def build_paged_bvh(
             half = n - PAGE_TRIS
         return [idxs[i] for i in order[:half]], [idxs[i] for i in order[half:]]
 
-    # ---- top tree: nodes above page cuts, DFS with escape links ----
-    top_nodes = []   # [lo3, hi3, miss, page]
-    pages = []       # list of triangle-index lists
+    pages = []  # list of triangle-index lists
 
-    def emit_top(idxs):
-        my = len(top_nodes)
-        top_nodes.append([lo[idxs].min(axis=0), hi[idxs].max(axis=0), 0, -1])
+    def emit(idxs):
         if len(idxs) <= PAGE_TRIS:
-            top_nodes[my][3] = len(pages)
             pages.append(list(idxs))
-            return 1
+            return
         left, right = split(idxs)
-        ls = emit_top(left)
-        rs = emit_top(right)
-        return 1 + ls + rs
+        emit(left)
+        emit(right)
 
-    emit_top(list(range(t)))
-    n_top = len(top_nodes)
-    _link_escapes(top_nodes, n_top)
-
+    emit(list(range(t)))
     n_pages = len(pages)
-    top_arr = np.zeros((n_top, 8), np.float32)
-    for i, (nlo, nhi, miss, page) in enumerate(top_nodes):
-        top_arr[i, 0:3] = nlo
-        top_arr[i, 3:6] = nhi
-        top_arr[i, 6] = miss
-        top_arr[i, 7] = page
 
-    page_tris = np.zeros((n_pages * PAGE_TRIS, N_TRI_ATTRS), np.float32)
+    tiles = np.zeros((n_pages, PAGE_TRIS, N_PAGE_ATTRS), np.float64)
     page_bbox = np.zeros((n_pages, 8), np.float32)
+    bounds = []
     any_smooth = False
     for p, members in enumerate(pages):
-        page_bbox[p, 0:3] = lo[members].min(axis=0)
-        page_bbox[p, 3:6] = hi[members].max(axis=0)
+        blo = lo[members].min(axis=0)
+        bhi = hi[members].max(axis=0)
+        page_bbox[p, 0:3] = blo
+        page_bbox[p, 3:6] = bhi
         page_bbox[p, 6] = len(members)
+        bounds.append(tuple(float(x) for x in blo) + tuple(float(x) for x in bhi))
         for s, orig in enumerate(members):
-            row = p * PAGE_TRIS + s
-            page_tris[row, 0:3] = v0[orig]
-            page_tris[row, 3:6] = e1[orig]
-            page_tris[row, 6:9] = e2[orig]
-            page_tris[row, 9] = float(tri_mat[orig])
-            page_tris[row, 10] = float(tri_obj[orig])
+            n_raw = np.cross(e1[orig], e2[orig])
+            nn = float(n_raw @ n_raw)
+            if nn <= 1e-30:
+                continue  # degenerate: valid stays 0, slot rejects itself
+            n_hat = n_raw / np.sqrt(nn)
+            m1 = np.cross(e2[orig], n_raw) / nn
+            m2 = np.cross(n_raw, e1[orig]) / nn
+            row = tiles[p, s]
+            row[0:3] = n_hat
+            row[3] = n_hat @ v0[orig]
+            row[4:7] = m1
+            row[7] = -(m1 @ v0[orig])
+            row[8:11] = m2
+            row[11] = -(m2 @ v0[orig])
+            row[12] = float(tri_mat[orig])
+            row[13] = float(tri_obj[orig])
             if tri_smooth[orig]:
                 any_smooth = True
-                page_tris[row, 11] = 1.0
+                row[14] = 1.0
                 n0, n1, n2 = tri_vn[orig]
-                page_tris[row, 12:15] = n0
-                page_tris[row, 15:18] = n1
-                page_tris[row, 18:21] = n2
+                row[16:19] = n0
+                row[19:22] = n1
+                row[22:25] = n2
+            row[15] = 1.0
 
-    paged = PagedBvh(n_pages=n_pages, n_top=n_top, any_smooth=any_smooth)
-    return paged, top_arr, page_tris, page_bbox
+    paged = PagedBvh(
+        n_pages=n_pages, any_smooth=any_smooth, page_bounds=tuple(bounds)
+    )
+    return paged, tiles.astype(np.float32), page_bbox
 
 
 # ---------------------------------------------------------------------------
-# Paged traversal kernels
+# Dense traversal kernels
 # ---------------------------------------------------------------------------
-
 
 
 def _slab_scalars(o, inv, lo_x, lo_y, lo_z, hi_x, hi_y, hi_z):
@@ -523,188 +512,243 @@ def _scalar_word_bit(p, j):
     )
 
 
-def _top_walk(o, d, inv, pack, t_min, best_t, t_max=None, skip=None):
-    """Packet-lockstep walk of the top (page-level) tree: returns
-    (mask word lane grids, visit count scalar).  Strictly-advancing
-    global min cursor => at most n_top iterations, no gate needed.
-    ``skip`` masks lanes that want no pages at all."""
-    paged: PagedBvh = pack.paged
-    top = pack.top_tab
+def _is_ref(table) -> bool:
+    aval = getattr(table, "aval", None)
+    return aval is not None and "Ref" in type(aval).__name__
+
+
+def _page_tile(table, p):
+    """Fetch page ``p``'s (PAGE_TRIS, N_PAGE_ATTRS) tile at a traced
+    scalar index — ONE dynamic fetch per page visit."""
+    if _is_ref(table):
+        return table[p]
+    return lax.dynamic_slice(
+        table, (p, jnp.int32(0), jnp.int32(0)), (1,) + table.shape[1:]
+    )[0]
+
+
+def _page_prepass(o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=None):
+    """Mark every page whose bbox a lane's ray enters: per-lane bitmask
+    words (list of i32 lane grids).  STATIC unroll over pages with the
+    bounds as compile-time scalar immediates; a page's bbox is contained
+    in all its ancestors', so this is exactly as selective as walking a
+    tree above the pages — with zero loop-carried iterations."""
     zero_i = _lane_zero_i32(o.x)
-    n_top = paged.n_top
-
-    done = jnp.int32(n_top)
-    c0 = zero_i if skip is None else jnp.where(skip, done, zero_i)
-    carry0 = (jnp.min(c0), jnp.zeros((), jnp.int32), c0) + tuple(
-        zero_i for _ in range(paged.mask_words)
-    )
-
-    def cond(carry):
-        return carry[0] < n_top
-
-    def body(carry):
-        g, visits, c = carry[0], carry[1], carry[2]
-        words = list(carry[3:])
-        row = _row_reader(top, g)
-        t0, t1 = _slab_scalars(o, inv, row(0), row(1), row(2), row(3), row(4), row(5))
-        active = c == g
-        box_hit = active & (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
+    words = [zero_i for _ in range(paged.mask_words)]
+    for p in range(paged.n_pages):
+        b = paged.page_bounds[p]
+        t0, t1 = _slab_scalars(
+            o, inv, _F(b[0]), _F(b[1]), _F(b[2]), _F(b[3]), _F(b[4]), _F(b[5])
+        )
+        want = (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
         if t_max is not None:
-            box_hit = box_hit & (t0 <= t_max)
-        miss = row(6).astype(jnp.int32)
-        page = row(7).astype(jnp.int32)
-        is_leaf = page >= 0  # traced scalar
-        for j in range(len(words)):
-            bit = _scalar_word_bit(page, j)
-            words[j] = words[j] | jnp.where(box_hit & is_leaf, bit, 0)
-        c = jnp.where(active, jnp.where(box_hit & ~is_leaf, g + 1, miss), c)
-        return (jnp.min(c), visits + 1, c) + tuple(words)
+            want = want & (t0 <= t_max)
+        if skip is not None:
+            want = want & ~skip
+        j, rel = divmod(p, MASK_BITS)
+        words[j] = words[j] | jnp.where(want, jnp.int32(1 << rel), 0)
+    return words
 
-    out = lax.while_loop(cond, body, carry0)
-    return list(out[3:]), out[1]
+
+def _attr_getter(tile, ray_ndim):
+    """Returns (col2, coln) attr accessors for a (PAGE_TRIS, ncols) tile.
+
+    ``col2`` (kernel path): (PAGE_TRIS, 1) columns — triangles on
+    SUBLANES, broadcast against (1, LANE) ray rows.  ``coln`` (XLA
+    path): (PAGE_TRIS, 1...) columns broadcast against ray grids of any
+    rank with a leading triangle axis added."""
+    def col2(c):
+        return tile[:, c : c + 1]
+
+    tail = (1,) * ray_ndim
+
+    def coln(c):
+        return tile[:, c].reshape((PAGE_TRIS,) + tail)
+
+    return col2, coln
+
+
+def _mt_key(attr, ox, oy, oz, dx, dy, dz, t_min, t_upper, t_max, excl, k_iota, big_key):
+    """Dense plane-form Möller–Trumbore over one page tile.
+
+    ``attr(c)`` yields (T,1[,1]) triangle columns; ray operands are
+    (1,LANE[,..]) rows; every intermediate is the (T, LANE)-shaped cross.
+    Returns the per-pair winner key (f32 t bits | slot, else big_key)."""
+    nx, ny, nz = attr(0), attr(1), attr(2)
+    denom = nx * dx + ny * dy + nz * dz
+    t_num = attr(3) - (nx * ox + ny * oy + nz * oz)
+    ok = (attr(15) > _F(0.5)) & (jnp.abs(denom) > _F(1e-12))
+    rcp = _F(1.0) / jnp.where(ok, denom, _F(1.0))
+    tt = t_num * rcp
+    hx = ox + tt * dx
+    hy = oy + tt * dy
+    hz = oz + tt * dz
+    u = attr(4) * hx + attr(5) * hy + attr(6) * hz + attr(7)
+    v = attr(8) * hx + attr(9) * hy + attr(10) * hz + attr(11)
+    ok = (
+        ok
+        & (u >= 0)
+        & (v >= 0)
+        & (u + v <= _F(1.0))
+        & (tt >= t_min)
+        & (tt < t_upper)
+    )
+    if t_max is not None:
+        ok = ok & (tt <= t_max)
+    if excl is not None:
+        ok = ok & (attr(13) != excl)
+    key = (lax.bitcast_convert_type(tt, jnp.int32) & ~jnp.int32(_KEY_SLOT_MASK)) | k_iota
+    return jnp.where(ok, key, big_key)
+
+
+_BIG_T = 3e38
+
+
+def _lane_arg(a, s):
+    """Slice lane grids to one sublane row; pass scalars through."""
+    if a is None or getattr(a, "ndim", 0) != 2:
+        return a
+    return a[s : s + 1, :]
+
+
+def _lead_arg(a):
+    """Add a leading triangle axis to lane grids; pass scalars through."""
+    if a is None or getattr(a, "ndim", 0) != 2:
+        return a
+    return a[None]
+
+
+def _big_key() -> int:
+    import struct
+
+    return (struct.unpack("<i", struct.pack("<f", _BIG_T))[0]) | _KEY_SLOT_MASK
+
+
+def _key_upper_t(key):
+    """f32 >= the true winner t for a packed key (fills the slot bits)."""
+    return lax.bitcast_convert_type(key | jnp.int32(_KEY_SLOT_MASK), jnp.float32)
+
+
+def _sweep_page_keys(tile, o, d, t_min, best_key, t_max, exclude_obj, in_kernel):
+    """Sweep one page tile densely; returns the improved per-ray best_key.
+
+    Kernel path: loops ray sublane-rows statically, each step a
+    (PAGE_TRIS, LANE) cross tile.  XLA path: one (PAGE_TRIS, R, LANE)
+    3D broadcast, min-reduced over the triangle axis."""
+    bigk = jnp.int32(_big_key())
+    shape = o.x.shape
+    if in_kernel:
+        col2, _ = _attr_getter(tile, shape and len(shape))
+        k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
+        rows = []
+        for s in range(shape[0]):
+            sl = lambda a: a[s : s + 1, :]  # noqa: E731
+            excl = None if exclude_obj is None else _lane_arg(exclude_obj, s).astype(jnp.float32)
+            keys = _mt_key(
+                col2,
+                sl(o.x), sl(o.y), sl(o.z),
+                sl(d.x), sl(d.y), sl(d.z),
+                t_min,
+                _key_upper_t(sl(best_key)),
+                _lane_arg(t_max, s),
+                excl,
+                k_iota,
+                bigk,
+            )
+            rows.append(jnp.min(keys, axis=0, keepdims=True))
+        page_key = jnp.concatenate(rows, axis=0)
+    else:
+        _, col3 = _attr_getter(tile, len(shape))
+        k_iota = lax.broadcasted_iota(
+            jnp.int32, (PAGE_TRIS,) + (1,) * len(shape), 0
+        )
+        excl = None if exclude_obj is None else _lead_arg(exclude_obj).astype(jnp.float32)
+        keys = _mt_key(
+            col3,
+            o.x[None], o.y[None], o.z[None],
+            d.x[None], d.y[None], d.z[None],
+            t_min,
+            _key_upper_t(best_key)[None],
+            _lead_arg(t_max),
+            excl,
+            k_iota,
+            bigk,
+        )
+        page_key = jnp.min(keys, axis=0)
+    return jnp.minimum(best_key, page_key)
 
 
 def traverse_triangles_paged(
     o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
 ):
-    """Closest-hit paged traversal; same contract as the round-2 dynamic
-    walk (updates the intersect_world winner-chain dict; returns
-    (state, visits)).  See the section banner for the design."""
+    """Closest-hit dense paged traversal (see the section banner).
+
+    Same contract as the prior designs: merges the mesh winner into the
+    intersect_world winner-chain dict; returns (state, pages_visited)."""
     paged: PagedBvh = pack.paged
     if paged is None or paged.n_pages == 0:
         return state, jnp.zeros((), jnp.int32)
+    t_min = _F(t_min)
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
-    zero_f = o.x * _F(0.0)
     zero_i = _lane_zero_i32(o.x)
     n_pages = paged.n_pages
     sent = jnp.int32(n_pages)
-    smooth = paged.any_smooth
+    in_kernel = _is_ref(pack.page_tiles)
+    tiles = pack.page_tiles
 
-    words, top_visits = _top_walk(o, d, inv, pack, t_min, state["best_t"], t_max=t_max)
+    words = _page_prepass(o, d, inv, paged, t_min, state["best_t"], t_max=t_max)
 
-    best0 = (
-        state["best_t"] + zero_f,  # desplat (Mosaic replicated-layout bug)
-        zero_i,                    # best_mat
-        zero_i,                    # best_m (global object id)
-        zero_f, zero_f, zero_f,    # shading normal
+    # winner carry: key = f32 bits of best t with slot bits filled (so a
+    # triangle wins only by beating the object sweep's t), page = -1
+    best_key0 = (
+        lax.bitcast_convert_type(state["best_t"] + o.x * _F(0.0), jnp.int32)
+        | jnp.int32(_KEY_SLOT_MASK)
     )
+    best_page0 = zero_i - 1
     p0 = jnp.min(_next_wanted(words, sent))
-    carry0 = (p0, top_visits) + tuple(words) + best0
     w_n = paged.mask_words
+    carry0 = (p0, jnp.zeros((), jnp.int32)) + tuple(words) + (best_key0, best_page0)
 
-    def outer_cond(carry):
+    def cond(carry):
         return carry[0] < n_pages
 
-    def outer_body(carry):
+    def body(carry):
         p, visits = carry[0], carry[1]
-        words = list(carry[2:2 + w_n])
-        best = list(carry[2 + w_n:])
+        words = list(carry[2 : 2 + w_n])
+        best_key, best_page = carry[2 + w_n], carry[3 + w_n]
 
-        part = zero_i
-        for j in range(w_n):
-            part = part | (words[j] & _scalar_word_bit(p, j))
-        participate = part != 0
-
-        bb = _row_reader(pack.page_bbox, p)
-        pt0, pt1 = _slab_scalars(o, inv, bb(0), bb(1), bb(2), bb(3), bb(4), bb(5))
-        viable = participate & (pt1 >= pt0) & (pt1 >= t_min) & (pt0 < best[0])
-        if t_max is not None:
-            viable = viable & (pt0 <= t_max)
-        count = bb(6).astype(jnp.int32)
-        base = p * PAGE_TRIS
-
-        def tri_body(k, c2):
-            best_t, best_mat, best_m, nx, ny, nz = c2
-            col2 = _row_reader(pack.page_tris, base + k)
-            col = lambda a, _k: col2(a)  # noqa: E731
-            v0x, v0y, v0z = col(0, k), col(1, k), col(2, k)
-            e1x, e1y, e1z = col(3, k), col(4, k), col(5, k)
-            e2x, e2y, e2z = col(6, k), col(7, k), col(8, k)
-
-            # Möller–Trumbore with scalar triangle data (vector in o,d)
-            px = d.y * e2z - d.z * e2y
-            py = d.z * e2x - d.x * e2z
-            pz = d.x * e2y - d.y * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) > _F(1e-9)
-            inv_det = _F(1.0) / jnp.where(ok, det, _F(1.0))
-            tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                ok
-                & viable
-                & (u >= 0)
-                & (u <= 1)
-                & (v >= 0)
-                & (u + v <= 1)
-                & (t >= t_min)
-                & (t < best_t)
-            )
-            if t_max is not None:
-                ok = ok & (t <= t_max)
-            if exclude_obj is not None:
-                ok = ok & (exclude_obj != col(10, k).astype(jnp.int32))
-
-            # geometric normal from scalar cross product (scalar math)
-            gnx = e1y * e2z - e1z * e2y
-            gny = e1z * e2x - e1x * e2z
-            gnz = e1x * e2y - e1y * e2x
-            glen = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, _F(1e-30)))
-            cnx, cny, cnz = gnx / glen, gny / glen, gnz / glen
-            if smooth:
-                # vertex-normal interpolation by the hit barycentrics
-                smf = col(11, k) > _F(0.5)  # traced scalar
-                w0 = _F(1.0) - u - v
-                sx = w0 * col(12, k) + u * col(15, k) + v * col(18, k)
-                sy = w0 * col(13, k) + u * col(16, k) + v * col(19, k)
-                sz = w0 * col(14, k) + u * col(17, k) + v * col(20, k)
-                slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
-                nxc = jnp.where(smf, sx / slen, cnx)
-                nyc = jnp.where(smf, sy / slen, cny)
-                nzc = jnp.where(smf, sz / slen, cnz)
-            else:
-                nxc, nyc, nzc = cnx, cny, cnz
-
-            sel = lambda a, b: jnp.where(ok, a, b)  # noqa: E731
-            return (
-                sel(t, best_t),
-                sel(col(9, k).astype(jnp.int32), best_mat),
-                sel(col(10, k).astype(jnp.int32), best_m),
-                sel(nxc, nx),
-                sel(nyc, ny),
-                sel(nzc, nz),
-            )
-
-        # static trip count: padded slots are degenerate (det == 0) and
-        # reject themselves; dynamic trip counts compile to data-dependent
-        # whiles, which both XLA:TPU and Mosaic handle far worse
-        best = list(lax.fori_loop(0, PAGE_TRIS, tri_body, tuple(best)))
-        visits = visits + count
+        tile = _page_tile(tiles, p)
+        new_key = _sweep_page_keys(
+            tile, o, d, t_min, best_key, t_max, exclude_obj, in_kernel
+        )
+        best_page = jnp.where(new_key < best_key, p, best_page)
 
         for j in range(w_n):
             words[j] = words[j] & ~_scalar_word_bit(p, j)
         p_next = jnp.min(_next_wanted(words, sent))
-        return (p_next, visits) + tuple(words) + tuple(best)
+        return (p_next, visits + 1) + tuple(words) + (new_key, best_page)
 
-    out = lax.while_loop(outer_cond, outer_body, carry0)
+    out = lax.while_loop(cond, body, carry0)
     visits = out[1]
-    best_t, best_mat, best_m, nx, ny, nz = out[2 + w_n:]
+    best_key, best_page = out[2 + w_n], out[3 + w_n]
+    hit = best_page >= 0
 
-    # ---- merge into the winner chain + static material unroll ----
-    improved = best_t < state["best_t"]
+    # ---- post-sweep winner resolve: one pass over WINNING pages ------
+    res = _resolve_winners(
+        tiles, paged, o, d, best_key, best_page, hit, in_kernel, zero_i
+    )
+    t_exact, nx, ny, nz, mat_f, obj_f = res
+
+    improved = hit & (t_exact < state["best_t"])
+    best_mat = jnp.where(improved, mat_f.astype(jnp.int32), 0)
     st = dict(state)
-    st["best_t"] = jnp.where(improved, best_t, state["best_t"])
+    st["best_t"] = jnp.where(improved, t_exact, state["best_t"])
     st["best_type"] = jnp.where(improved, OBJ_TRIANGLE, state["best_type"])
     st["nx"] = jnp.where(improved, nx, state["nx"])
     st["ny"] = jnp.where(improved, ny, state["ny"])
     st["nz"] = jnp.where(improved, nz, state["nz"])
     if not lite:
-        st["best_m"] = jnp.where(improved, best_m, state["best_m"])
+        st["best_m"] = jnp.where(improved, obj_f.astype(jnp.int32), state["best_m"])
         st["best_mat"] = jnp.where(improved, best_mat, state["best_mat"])
 
     mat = pack.mat
@@ -741,87 +785,164 @@ def traverse_triangles_paged(
     return st, visits
 
 
+# attribute columns the resolve pass extracts, in order: geometric
+# normal (3), d_plane, mat, obj; smooth meshes add the barycentric
+# duals (m1,c1,m2,c2), the smooth flag and the three vertex normals
+_RES_COLS = (0, 1, 2, 3, 12, 13) + (4, 5, 6, 7, 8, 9, 10, 11, 14) + tuple(
+    range(16, 25)
+)
+
+
+def _resolve_winners(tiles, paged, o, d, best_key, best_page, hit, in_kernel, zero_i):
+    """Extract the winning triangle's attributes once per sweep.
+
+    A second cursor loop over pages that WON at least one lane; per page
+    a one-hot over the winner's slot recovers attributes as masked
+    triangle-axis sums (the slot key makes the one-hot unique, so
+    shared-edge ties cannot double-count).  The exact hit t is
+    recomputed from the winner's plane constants — the packed key's t
+    has its low 7 mantissa bits replaced by the slot."""
+    n_pages = paged.n_pages
+    sent = jnp.int32(n_pages)
+    smooth = paged.any_smooth
+    slot = best_key & jnp.int32(_KEY_SLOT_MASK)
+    zero_f = zero_i.astype(jnp.float32)
+    n_attr = len(_RES_COLS) if smooth else 6
+
+    # winner-page bitmask words (static unroll, ~2 ops per page)
+    wwords = [zero_i for _ in range(paged.mask_words)]
+    for p in range(n_pages):
+        j, rel = divmod(p, MASK_BITS)
+        wwords[j] = wwords[j] | jnp.where(
+            hit & (best_page == p), jnp.int32(1 << rel), 0
+        )
+
+    def extract(tile, p):
+        """Per-page one-hot attribute sums; returns list of lane grids."""
+        if in_kernel:
+            col = lambda c: tile[:, c : c + 1]  # noqa: E731
+            k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
+            per_row = []
+            for s in range(slot.shape[0]):
+                onehot = (
+                    (k_iota == slot[s : s + 1, :])
+                    & (best_page[s : s + 1, :] == p)
+                ).astype(jnp.float32)
+                per_row.append(
+                    [
+                        jnp.sum(onehot * col(c), axis=0, keepdims=True)
+                        for c in _RES_COLS[:n_attr]
+                    ]
+                )
+            return [
+                jnp.concatenate([r[i] for r in per_row], axis=0)
+                for i in range(n_attr)
+            ]
+        tail = (1,) * slot.ndim
+        col = lambda c: tile[:, c].reshape((PAGE_TRIS,) + tail)  # noqa: E731
+        k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS,) + tail, 0)
+        onehot = ((k_iota == slot[None]) & (best_page[None] == p)).astype(
+            jnp.float32
+        )
+        return [jnp.sum(onehot * col(c), axis=0) for c in _RES_COLS[:n_attr]]
+
+    p0 = jnp.min(_next_wanted(wwords, sent))
+    carry0 = (p0,) + tuple(wwords) + tuple([zero_f] * n_attr)
+    w_n = paged.mask_words
+
+    def cond(carry):
+        return carry[0] < n_pages
+
+    def body(carry):
+        p = carry[0]
+        words = list(carry[1 : 1 + w_n])
+        acc = list(carry[1 + w_n :])
+        tile = _page_tile(tiles, p)
+        vals = extract(tile, p)
+        mine = hit & (best_page == p)
+        acc = [jnp.where(mine, v, a) for v, a in zip(vals, acc)]
+        for j in range(w_n):
+            words[j] = words[j] & ~_scalar_word_bit(p, j)
+        p_next = jnp.min(_next_wanted(words, sent))
+        return (p_next,) + tuple(words) + tuple(acc)
+
+    out = lax.while_loop(cond, body, carry0)
+    acc = list(out[1 + w_n :])
+    gnx, gny, gnz, d_plane, mat_f, obj_f = acc[:6]
+
+    # exact t from the winner's geometric plane: t = (d_plane - n.o)/(n.d)
+    denom = gnx * d.x + gny * d.y + gnz * d.z
+    safe = jnp.abs(denom) > _F(1e-12)
+    t_exact = (d_plane - (gnx * o.x + gny * o.y + gnz * o.z)) / jnp.where(
+        safe, denom, _F(1.0)
+    )
+    t_exact = jnp.where(hit & safe, t_exact, _F(_BIG_T))
+
+    nx, ny, nz = gnx, gny, gnz
+    if smooth:
+        m1x, m1y, m1z, c1, m2x, m2y, m2z, c2, smf = acc[6:15]
+        v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = acc[15:24]
+        hx = o.x + t_exact * d.x
+        hy = o.y + t_exact * d.y
+        hz = o.z + t_exact * d.z
+        u = m1x * hx + m1y * hy + m1z * hz + c1
+        v = m2x * hx + m2y * hy + m2z * hz + c2
+        w0 = _F(1.0) - u - v
+        sx = w0 * v0x + u * v1x + v * v2x
+        sy = w0 * v0y + u * v1y + v * v2y
+        sz = w0 * v0z + u * v1z + v * v2z
+        slen = jnp.sqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, _F(1e-30)))
+        use = smf > _F(0.5)
+        nx = jnp.where(use, sx / slen, gnx)
+        ny = jnp.where(use, sy / slen, gny)
+        nz = jnp.where(use, sz / slen, gnz)
+    return t_exact, nx, ny, nz, mat_f, obj_f
+
+
 def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
-    """Any-hit paged traversal for shadow rays: same phases, boolean
-    result.  Already-blocked lanes skip the top walk entirely; a lane
-    that finds any hit drops its remaining pages."""
+    """Any-hit dense paged traversal for shadow rays: same prepass and
+    page cursor, boolean result.  Already-blocked lanes mark no pages;
+    a lane that finds any hit drops its remaining pages."""
     paged: PagedBvh = pack.paged
     if paged is None or paged.n_pages == 0:
         return blocked
+    t_min = _F(t_min)
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     zero_i = _lane_zero_i32(o.x)
     n_pages = paged.n_pages
     sent = jnp.int32(n_pages)
-    big = jnp.full(o.x.shape, _F(3e38))
+    in_kernel = _is_ref(pack.page_tiles)
+    tiles = pack.page_tiles
+    big_t = o.x * _F(0.0) + _F(_BIG_T)  # desplat (Mosaic layout bug)
 
-    words, _tv = _top_walk(o, d, inv, pack, t_min, big, t_max=t_max, skip=blocked)
+    words = _page_prepass(
+        o, d, inv, paged, t_min, big_t, t_max=t_max, skip=blocked
+    )
 
-    w_n = paged.mask_words
     blk0 = blocked.astype(jnp.int32) + zero_i
     p0 = jnp.min(_next_wanted(words, sent))
+    w_n = paged.mask_words
     carry0 = (p0,) + tuple(words) + (blk0,)
 
-    def outer_cond(carry):
+    def cond(carry):
         return carry[0] < n_pages
 
-    def outer_body(carry):
+    def body(carry):
         p = carry[0]
-        words = list(carry[1:1 + w_n])
+        words = list(carry[1 : 1 + w_n])
         blk = carry[1 + w_n]
-
-        part = zero_i
-        for j in range(w_n):
-            part = part | (words[j] & _scalar_word_bit(p, j))
-        bb = _row_reader(pack.page_bbox, p)
-        pt0, pt1 = _slab_scalars(o, inv, bb(0), bb(1), bb(2), bb(3), bb(4), bb(5))
-        viable = (
-            (part != 0)
-            & (blk == 0)
-            & (pt1 >= pt0)
-            & (pt1 >= t_min)
-            & (pt0 <= t_max)
+        tile = _page_tile(tiles, p)
+        # any-hit: a page hit is any pair key below the sentinel
+        key0 = lax.bitcast_convert_type(big_t, jnp.int32) | jnp.int32(
+            _KEY_SLOT_MASK
         )
-        count = bb(6).astype(jnp.int32)
-        base = p * PAGE_TRIS
-
-        def tri_body(k, blk):
-            col2 = _row_reader(pack.page_tris, base + k)
-            col = lambda a, _k: col2(a)  # noqa: E731
-            v0x, v0y, v0z = col(0, k), col(1, k), col(2, k)
-            e1x, e1y, e1z = col(3, k), col(4, k), col(5, k)
-            e2x, e2y, e2z = col(6, k), col(7, k), col(8, k)
-            px = d.y * e2z - d.z * e2y
-            py = d.z * e2x - d.x * e2z
-            pz = d.x * e2y - d.y * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) > _F(1e-9)
-            inv_det = _F(1.0) / jnp.where(ok, det, _F(1.0))
-            tvx, tvy, tvz = o.x - v0x, o.y - v0y, o.z - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            hit = (
-                ok
-                & viable
-                & (u >= 0)
-                & (u <= 1)
-                & (v >= 0)
-                & (u + v <= 1)
-                & (t >= t_min)
-                & (t <= t_max)
-            )
-            return blk | hit.astype(jnp.int32)
-
-        blk = lax.fori_loop(0, PAGE_TRIS, tri_body, blk)
-
+        new_key = _sweep_page_keys(tile, o, d, t_min, key0, t_max, None, in_kernel)
+        blk = blk | (new_key < key0).astype(jnp.int32)
         for j in range(w_n):
             words[j] = words[j] & ~_scalar_word_bit(p, j)
             words[j] = jnp.where(blk != 0, 0, words[j])  # blocked: drop out
         p_next = jnp.min(_next_wanted(words, sent))
         return (p_next,) + tuple(words) + (blk,)
 
-    out = lax.while_loop(outer_cond, outer_body, carry0)
+    out = lax.while_loop(cond, body, carry0)
     return out[1 + w_n] != 0

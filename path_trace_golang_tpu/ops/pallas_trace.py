@@ -103,9 +103,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         fog_ref,
         tri_ref,
         bvh_ref,
-        top_ref,
-        ptri_ref,
-        pbox_ref,
+        ptile_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -129,9 +127,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
-            top_tab=top_ref,
-            page_tris=ptri_ref,
-            page_bbox=pbox_ref,
+            page_tiles=ptile_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
@@ -170,9 +166,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             smem(),  # fog
             table(),  # tri
             table(),  # bvh_bounds
-            vmem(),  # top_tab
-            vmem(),  # page_tris
-            vmem(),  # page_bbox
+            vmem(),  # page_tiles
             lane_in,
             lane_in,
             lane_in,
@@ -198,9 +192,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
-        pack.top_tab,
-        pack.page_tris,
-        pack.page_bbox,
+        pack.page_tiles,
         orig.x,
         orig.y,
         orig.z,
@@ -256,9 +248,7 @@ def render_pass_pallas(
         fog_ref,
         tri_ref,
         bvh_ref,
-        top_ref,
-        ptri_ref,
-        pbox_ref,
+        ptile_ref,
         seed_ref,
         px_ref,
         py_ref,
@@ -277,9 +267,7 @@ def render_pass_pallas(
             fog=fog_ref,
             tri=tri_ref,
             bvh_bounds=bvh_ref,
-            top_tab=top_ref,
-            page_tris=ptri_ref,
-            page_bbox=pbox_ref,
+            page_tiles=ptile_ref,
         )
         col, segs = render_mod.pass_body_grid(
             pack_k,
@@ -328,9 +316,7 @@ def render_pass_pallas(
             smem(),  # fog
             table(),  # tri
             table(),  # bvh_bounds
-            vmem(),  # top_tab
-            vmem(),  # page_tris
-            vmem(),  # page_bbox
+            vmem(),  # page_tiles
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
@@ -351,9 +337,7 @@ def render_pass_pallas(
         pack.fog,
         pack.tri,
         pack.bvh_bounds,
-        pack.top_tab,
-        pack.page_tris,
-        pack.page_bbox,
+        pack.page_tiles,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,

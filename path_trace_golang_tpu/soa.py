@@ -113,11 +113,12 @@ class ScenePack:
     tri_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     tri_smooth: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     bvh: object = dataclasses.field(default=None, metadata=dict(static=True))
-    # paged-sweep tables (bvh.py traverse_triangles_paged; built when the
-    # triangle count routes to the dynamic walk):
-    top_tab: Optional[jax.Array] = None    # f32[max(nt,1), 8]
-    page_tris: Optional[jax.Array] = None  # f32[max(P*128,1), N_TRI_ATTRS]
-    page_bbox: Optional[jax.Array] = None  # f32[max(P,1), 8]
+    # dense paged-sweep table (bvh.py traverse_triangles_paged; built when
+    # the triangle count routes to the dynamic walk).  One
+    # (PAGE_TRIS, N_PAGE_ATTRS) tile per page: triangles on sublanes,
+    # precomputed plane/barycentric-dual constants on lanes; page bboxes
+    # are static scalar immediates on ``paged`` (PagedBvh.page_bounds).
+    page_tiles: Optional[jax.Array] = None  # f32[max(P,1), 128, 32]
     paged: object = dataclasses.field(default=None, metadata=dict(static=True))
     # defocus model (scene camera extension, PHYSICS.md Q4): False =
     # reference's faithful unit-ball bokeh, True = thin-lens disk
@@ -375,9 +376,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     paged = None
     bvh_bounds = np.zeros((1, 6), np.float32)
     tri_rows = np.zeros((1, 24), np.float32)
-    top_tab = np.zeros((1, 8), np.float32)
-    page_tris = np.zeros((1, 24), np.float32)
-    page_bbox = np.zeros((1, 8), np.float32)
+    page_tiles = np.zeros((1, 128, 32), np.float32)
     if t_count:
         from .ops.bvh import LEAF_SIZE, build_bvh, build_paged_bvh, use_dynamic_walk
 
@@ -385,10 +384,10 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         e1 = np.asarray(tri_e1)
         e2 = np.asarray(tri_e2)
         if use_dynamic_walk(t_count):
-            # Paged page-sweep traversal (bvh.py round-3 redesign): a top
-            # tree marks wanted pages; pages sweep their triangle slots
-            # vectorized with scalar triangle data.
-            paged, top_tab, page_tris, page_bbox = build_paged_bvh(
+            # Dense paged sweep (bvh.py round-3 redesign): page bboxes
+            # bake into the traced code as scalar immediates; wanted
+            # pages sweep densely as (triangle, ray) cross tiles.
+            paged, page_tiles, _page_bbox = build_paged_bvh(
                 v0,
                 e1,
                 e2,
@@ -436,9 +435,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         tri_mats=tuple(tri_mat_list),
         tri_smooth=tuple(tri_smooth_list),
         bvh=topo,
-        top_tab=jax.numpy.asarray(top_tab),
-        page_tris=jax.numpy.asarray(page_tris),
-        page_bbox=jax.numpy.asarray(page_bbox),
+        page_tiles=jax.numpy.asarray(page_tiles),
         paged=paged,
         lens_disk=(getattr(sc.camera, "lens", "ball") == "disk"),
     )

@@ -237,9 +237,11 @@ def _random_tri_scene(t, seed=7, lo=-4, hi=4):
 
 
 def test_dynamic_walk_matches_static():
-    """The while-loop packet walk (large-mesh path) and the unrolled walk
-    visit triangles with identical candidate math — closest hits and all
-    winner constants must match bitwise."""
+    """The dense paged sweep (large-mesh path) and the unrolled walk must
+    agree on hits and winners.  t is compared to a few ulp: the paged
+    sweep uses the plane/barycentric-dual form with float64-precomputed
+    constants (bvh.build_paged_bvh), which rounds differently from the
+    unrolled walk's classic Möller–Trumbore in f32."""
     import os
 
     import jax
@@ -266,7 +268,9 @@ def test_dynamic_walk_matches_static():
     hit = np.asarray(h_static.hit)
     assert hit.any()
     assert np.array_equal(hit, np.asarray(h_dyn.hit))
-    np.testing.assert_array_equal(np.asarray(h_static.t), np.asarray(h_dyn.t))
+    np.testing.assert_allclose(
+        np.asarray(h_static.t)[hit], np.asarray(h_dyn.t)[hit], rtol=2e-6
+    )
     # normals/materials are only defined on hit lanes (miss lanes carry
     # whatever the winner chain defaulted to, which differs by walk).
     # Normals agree to 1 ulp: the unrolled walk folds the cross product in
@@ -351,21 +355,38 @@ def test_dynamic_walk_visits_sublinear_for_coherent_packet():
 
     from path_trace_golang_tpu.ops import bvh as bvh_mod
 
-    sc = _random_tri_scene(512, seed=2, lo=-20, hi=20)
+    # a long flat strip: 256 quads along x => 512 triangles in 4 pages
+    # whose bboxes are spatially disjoint quarters of the strip
+    nq = 256
+    verts = [[float(i), 0.0, z] for i in range(nq + 1) for z in (0.0, 1.0)]
+    faces = []
+    for i in range(nq):
+        a, b, c, e = 2 * i, 2 * i + 1, 2 * i + 2, 2 * i + 3
+        faces.append([a, b, c])
+        faces.append([b, e, c])
+    sc = S.Scene(
+        camera=base_camera(),
+        materials=[mat("m", "lambert")],
+        objects=[
+            S.Object(
+                id="strip",
+                type="mesh",
+                material_id="m",
+                mesh={"vertices": verts, "faces": faces},
+            )
+        ],
+        sky=solid_sky(),
+    )
     pack = pack_scene(sc)
-    # visit budget if nothing were skipped: every page's full node count
-    # plus the whole top tree
-    n_nodes = pack.paged.n_pages * 255 + pack.paged.n_top
+    # visit budget if nothing were skipped: every page swept
+    n_budget = pack.paged.n_pages
+    assert n_budget >= 4
 
+    # tight packet shooting straight down at the strip's first quarter
     shape = (2, 128)
-    o = V3(jnp.full(shape, -30.0), jnp.zeros(shape), jnp.zeros(shape))
-    # narrow bundle aimed at one corner of the scene
-    jit = np.linspace(0, 0.02, 256, dtype=np.float32).reshape(shape)
-    d = V3(
-        jnp.ones(shape),
-        jnp.asarray(jit) + 0.30,
-        jnp.asarray(jit) * 0.5 + 0.30,
-    ).normalize()
+    jit = np.linspace(0, 1.0, 256, dtype=np.float32).reshape(shape)
+    o = V3(jnp.asarray(jit) + 1.0, jnp.full(shape, 5.0), jnp.full(shape, 0.5))
+    d = V3(jnp.zeros(shape), -jnp.ones(shape), jnp.zeros(shape)).normalize()
 
     state = dict(
         best_t=jnp.full(shape, geometry.BIG_T),
@@ -390,7 +411,7 @@ def test_dynamic_walk_visits_sublinear_for_coherent_packet():
         lambda o, d: bvh_mod.traverse_triangles_paged(o, d, pack, 1e-3, state)
     )(o, d)
     visits = int(visits)
-    assert visits < n_nodes // 2, (visits, n_nodes)
+    assert visits < max(n_budget // 2, 1), (visits, n_budget)
 
 
 @pytest.mark.parametrize("n_lat,n_lon,min_dot", [(4, 5, 0.98), (8, 10, 0.998)])

@@ -62,7 +62,11 @@ def main() -> int:
     # the axon remote compiler takes tens of minutes on; a plain-CPU
     # subprocess (JAX_PLATFORMS=cpu skips the remote compile helper
     # entirely) compiles it in seconds.
-    if "--counts" not in sys.argv and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    if (
+        "--counts" not in sys.argv
+        and "--render-only" not in sys.argv
+        and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+    ):
         r = subprocess.run(
             [sys.executable, __file__, "--counts"] + [a for a in sys.argv[1:]],
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
@@ -78,7 +82,7 @@ def main() -> int:
     from path_trace_golang_tpu.scene import model as M
     from path_trace_golang_tpu.soa import pack_scene
 
-    args = [a for a in sys.argv[1:] if a != "--counts"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     counts_only = "--counts" in sys.argv
     n_lat = int(args[0]) if len(args) > 0 else 80
     n_lon = int(args[1]) if len(args) > 1 else 64
@@ -121,10 +125,10 @@ def main() -> int:
     w = h = 512
     pack = pack_scene(sc, w, h)
     paged = pack.paged
-    n_nodes = paged.n_pages * 255 + paged.n_top  # full per-page visit budget
+    n_budget = paged.n_pages  # full page-visit budget
     print(
-        f"mesh: {pack.n_triangles} triangles, {paged.n_pages} pages, "
-        f"{paged.n_top} top nodes (paged walk: {bvh_mod.use_dynamic_walk(pack.n_triangles)})"
+        f"mesh: {pack.n_triangles} triangles, {paged.n_pages} pages "
+        f"(dense paged sweep: {bvh_mod.use_dynamic_walk(pack.n_triangles)})"
     )
     assert pack.n_triangles >= 10_000, "benchmark wants >= 10k triangles"
     if not counts_only:
@@ -179,9 +183,9 @@ def main() -> int:
     incoherent = int(jcount(o, d))
 
     print(
-        f"walk iterations per 4096-lane packet (of {n_nodes} budget): "
-        f"coherent {coherent:.0f} ({coherent / n_nodes:.1%}), "
-        f"incoherent {incoherent} ({incoherent / n_nodes:.1%})",
+        f"pages swept per 4096-lane packet (of {n_budget} budget): "
+        f"coherent {coherent:.1f} ({coherent / n_budget:.1%}), "
+        f"incoherent {incoherent} ({incoherent / n_budget:.1%})",
         flush=True,
     )
 
