@@ -363,6 +363,12 @@ class PagedBvh:
     n_pages: int
     any_smooth: bool     # any triangle interpolates vertex normals
     page_bounds: Tuple[Tuple[float, float, float, float, float, float], ...]
+    # pages are sorted by bbox center along this axis; margin bounds
+    # |center - bbox_edge| over all pages.  The gather traversal pops
+    # pages direction-aware along this order and early-stops exactly:
+    # every remaining page's slab entry is >= (center - o)/d - margin/|d|
+    sort_axis: int = 0
+    sort_margin: float = 0.0
 
     @property
     def mask_words(self) -> int:
@@ -420,6 +426,20 @@ def build_paged_bvh(
     emit(list(range(t)))
     n_pages = len(pages)
 
+    # sort pages along the axis of maximum page-center spread, so page
+    # INDEX order is a near-to-far order for rays travelling along that
+    # axis (the gather traversal pops direction-aware; see PagedBvh)
+    pcent = np.array(
+        [(lo[m].min(axis=0) + hi[m].max(axis=0)) * 0.5 for m in pages]
+    )
+    sort_axis = int(np.argmax(pcent.max(axis=0) - pcent.min(axis=0))) if n_pages > 1 else 0
+    pages = [pages[i] for i in np.argsort(pcent[:, sort_axis], kind="stable")]
+    sort_margin = 0.0
+    for m in pages:
+        blo, bhi = lo[m].min(axis=0), hi[m].max(axis=0)
+        c = (blo[sort_axis] + bhi[sort_axis]) * 0.5
+        sort_margin = max(sort_margin, c - blo[sort_axis], bhi[sort_axis] - c)
+
     tiles = np.zeros((n_pages, PAGE_TRIS, N_PAGE_ATTRS), np.float64)
     page_bbox = np.zeros((n_pages, 8), np.float32)
     bounds = []
@@ -458,9 +478,59 @@ def build_paged_bvh(
             row[15] = 1.0
 
     paged = PagedBvh(
-        n_pages=n_pages, any_smooth=any_smooth, page_bounds=tuple(bounds)
+        n_pages=n_pages,
+        any_smooth=any_smooth,
+        page_bounds=tuple(bounds),
+        sort_axis=sort_axis,
+        sort_margin=float(np.float32(sort_margin * (1 + 1e-6))),
     )
     return paged, tiles.astype(np.float32), page_bbox
+
+
+# ---------------------------------------------------------------------------
+# Gather-table layout (the in-kernel per-lane traversal, see below)
+# ---------------------------------------------------------------------------
+# Per-attr transposed blocks: row ``a * PAGE_TRIS + j`` of the table is
+# attribute ``a`` of triangle slot ``j`` across all pages (pages on
+# lanes, zero-padded to a multiple of 128).  One
+# ``dot(table, onehot(pages))`` then fetches each lane's OWN page as a
+# (PAGE_TRIS, LANE) attribute grid — an MXU gather.
+
+_G_TEST_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 15, 13)  # sweep set
+_A_TEST = len(_G_TEST_COLS)
+
+
+def _gather_cols(any_smooth: bool):
+    # test set, then the FULL winner-resolve set in _RES_COLS order —
+    # cols shared with the test set are duplicated so the resolve
+    # matmul reads one contiguous block range (a few KB of VMEM buys a
+    # 3x-smaller resolve matmul)
+    return _G_TEST_COLS + _RES_COLS[: len(_RES_COLS) if any_smooth else 6]
+
+
+def build_gather_table(tiles: np.ndarray, paged: "PagedBvh") -> np.ndarray:
+    """(P, PAGE_TRIS, N_PAGE_ATTRS) page tiles -> (A*PAGE_TRIS, P_pad).
+
+    Layout: the sweep-test attributes first (the per-round gather
+    slice), then block ``_A_TEST`` = the page's bbox center along
+    ``paged.sort_axis`` replicated over slots (the early-stop input),
+    then the winner-resolve-only attributes — gathered once per row
+    after the walk, not every round."""
+    p, tris, _ = tiles.shape
+    cols = _gather_cols(paged.any_smooth)
+    p_pad = -(-p // 128) * 128
+    g = np.zeros(((len(cols) + 1) * tris, p_pad), np.float32)
+    for ai, c in enumerate(cols[:_A_TEST]):
+        g[ai * tris : (ai + 1) * tris, :p] = tiles[:, :, c].T
+    ax = paged.sort_axis
+    centers = np.array(
+        [(b[ax] + b[3 + ax]) * 0.5 for b in paged.page_bounds], np.float32
+    )
+    g[_A_TEST * tris : (_A_TEST + 1) * tris, :p] = centers[None, :]
+    for ai, c in enumerate(cols[_A_TEST:]):
+        blk = _A_TEST + 1 + ai
+        g[blk * tris : (blk + 1) * tris, :p] = tiles[:, :, c].T
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -548,6 +618,89 @@ def _page_prepass(o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=No
         j, rel = divmod(p, MASK_BITS)
         words[j] = words[j] | jnp.where(want, jnp.int32(1 << rel), 0)
     return words
+
+
+# t-buckets for the per-lane gather traversal: pages are classified by
+# their per-lane slab ENTRY t into N_BUCKETS ranges of [root-entry,
+# root-exit], and the walk drains buckets in order — an approximate
+# per-lane front-to-back order that lets closest-hit lanes stop after
+# the first occupied range and shadow lanes block on near geometry.
+# Miscassification is impossible by construction (same t0 and splits
+# decide membership and the kill rule); wrong SPLITS (NaN/inf corner
+# cases) only push pages toward bucket 0, which is always conservative.
+N_BUCKETS = 4
+
+
+def _page_prepass_bucketed(
+    o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=None
+):
+    """Bucketed prepass: returns (bwords, splits).
+
+    ``bwords``: N_BUCKETS lists of mask words — bucket b marks pages
+    whose slab entry t0 falls in [splits[b-1], splits[b]) per lane.
+    ``splits``: N_BUCKETS-1 lane grids; bucket b (b>=1) may be dropped
+    entirely once splits[b-1] exceeds the lane's best t."""
+    nb = N_BUCKETS
+    zero_i = _lane_zero_i32(o.x)
+    bwords = [[zero_i for _ in range(paged.mask_words)] for _ in range(nb)]
+
+    # static root bbox = union of page bounds
+    pb = paged.page_bounds
+    rlo = [min(b[i] for b in pb) for i in range(3)]
+    rhi = [max(b[3 + i] for b in pb) for i in range(3)]
+    r0, r1 = _slab_scalars(
+        o, inv, _F(rlo[0]), _F(rhi[0]), _F(rlo[1]), _F(rhi[1]), _F(rlo[2]), _F(rhi[2])
+    )
+    lo = jnp.clip(r0, t_min, _F(_BIG_T))
+    hi = jnp.minimum(r1, best_t)
+    if t_max is not None:
+        hi = jnp.minimum(hi, t_max)
+    hi = jnp.clip(hi, t_min, _F(_BIG_T))
+    step = jnp.maximum(hi - lo, _F(0.0)) * _F(1.0 / nb)
+    splits = [lo + step * _F(float(b)) for b in range(1, nb)]
+
+    for p in range(paged.n_pages):
+        b = paged.page_bounds[p]
+        t0, t1 = _slab_scalars(
+            o, inv, _F(b[0]), _F(b[1]), _F(b[2]), _F(b[3]), _F(b[4]), _F(b[5])
+        )
+        want = (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
+        if t_max is not None:
+            want = want & (t0 <= t_max)
+        if skip is not None:
+            want = want & ~skip
+        ge = [t0 >= s for s in splits]
+        j, rel = divmod(p, MASK_BITS)
+        bit = jnp.int32(1 << rel)
+        for bi in range(nb):
+            in_b = want
+            if bi >= 1:
+                in_b = in_b & ge[bi - 1]
+            if bi < nb - 1:
+                in_b = in_b & ~ge[bi]
+            bwords[bi][j] = bwords[bi][j] | jnp.where(in_b, bit, 0)
+    return bwords, splits
+
+
+def _pop_bucketed(bwords, sent, fwd):
+    """Pop each lane's next page from its first non-empty bucket
+    (direction-aware within the bucket).  Returns (p_l, new bwords,
+    sel) where sel[b] marks lanes that popped from bucket b."""
+    p_l = jnp.full_like(bwords[0][0], sent)
+    earlier = None
+    outs, sel = [], []
+    for words_b in bwords:
+        any_b = words_b[0]
+        for w in words_b[1:]:
+            any_b = any_b | w
+        nonempty = any_b > 0
+        sel_b = nonempty if earlier is None else (nonempty & ~earlier)
+        p_b, popped = _pop_dir(words_b, sent, fwd)
+        outs.append([jnp.where(sel_b, pw, w) for pw, w in zip(popped, words_b)])
+        p_l = jnp.where(sel_b, p_b, p_l)
+        earlier = nonempty if earlier is None else (earlier | nonempty)
+        sel.append(sel_b)
+    return p_l, outs, sel
 
 
 def _attr_getter(tile, ray_ndim):
@@ -688,6 +841,10 @@ def traverse_triangles_paged(
     paged: PagedBvh = pack.paged
     if paged is None or paged.n_pages == 0:
         return state, jnp.zeros((), jnp.int32)
+    if _use_gather(pack):
+        return _traverse_gather(
+            o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
+        )
     t_min = _F(t_min)
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     zero_i = _lane_zero_i32(o.x)
@@ -737,6 +894,13 @@ def traverse_triangles_paged(
     res = _resolve_winners(
         tiles, paged, o, d, best_key, best_page, hit, in_kernel, zero_i
     )
+    st = _merge_winner_state(pack, state, res, hit, lite)
+    return st, visits
+
+
+def _merge_winner_state(pack, state, res, hit, lite):
+    """Merge a resolved mesh winner into the intersect_world winner-chain
+    dict (shared by the dense and gather traversals)."""
     t_exact, nx, ny, nz, mat_f, obj_f = res
 
     improved = hit & (t_exact < state["best_t"])
@@ -752,37 +916,41 @@ def traverse_triangles_paged(
         st["best_mat"] = jnp.where(improved, best_mat, state["best_mat"])
 
     mat = pack.mat
+    # uniform material columns already hold the broadcast constant in
+    # the incoming state (geometry.intersect_world) — skip their selects
+    uni = pack.mat_uniform or (None,) * 20
     for mi in range(pack.n_materials):
         m_mask = improved & (best_mat == mi)
-        msel = lambda a, b: jnp.where(m_mask, a, b)  # noqa: E731
-        st["best_mtyp"] = msel(pack.mat_types[mi], st["best_mtyp"])
+        sel = lambda a, b: jnp.where(m_mask, a, b)  # noqa: E731
+        msel = lambda c, b: b if uni[c] is not None else sel(mat[mi, c], b)  # noqa: E731
+        st["best_mtyp"] = sel(pack.mat_types[mi], st["best_mtyp"])
         st["b_emit"] = V3(
-            msel(mat[mi, 8], st["b_emit"].x),
-            msel(mat[mi, 9], st["b_emit"].y),
-            msel(mat[mi, 10], st["b_emit"].z),
+            msel(8, st["b_emit"].x),
+            msel(9, st["b_emit"].y),
+            msel(10, st["b_emit"].z),
         )
         if not lite:
-            st["b_rough"] = msel(mat[mi, 1], st["b_rough"])
-            st["b_ior"] = msel(mat[mi, 2], st["b_ior"])
-            st["b_smooth"] = msel(mat[mi, 3], st["b_smooth"])
-            st["b_refl"] = msel(mat[mi, 7], st["b_refl"])
-            st["b_abss"] = msel(mat[mi, 15], st["b_abss"])
+            st["b_rough"] = msel(1, st["b_rough"])
+            st["b_ior"] = msel(2, st["b_ior"])
+            st["b_smooth"] = msel(3, st["b_smooth"])
+            st["b_refl"] = msel(7, st["b_refl"])
+            st["b_abss"] = msel(15, st["b_abss"])
             st["b_albedo"] = V3(
-                msel(mat[mi, 4], st["b_albedo"].x),
-                msel(mat[mi, 5], st["b_albedo"].y),
-                msel(mat[mi, 6], st["b_albedo"].z),
+                msel(4, st["b_albedo"].x),
+                msel(5, st["b_albedo"].y),
+                msel(6, st["b_albedo"].z),
             )
             st["b_absorb"] = V3(
-                msel(mat[mi, 12], st["b_absorb"].x),
-                msel(mat[mi, 13], st["b_absorb"].y),
-                msel(mat[mi, 14], st["b_absorb"].z),
+                msel(12, st["b_absorb"].x),
+                msel(13, st["b_absorb"].y),
+                msel(14, st["b_absorb"].z),
             )
             st["b_tint"] = V3(
-                msel(mat[mi, 16], st["b_tint"].x),
-                msel(mat[mi, 17], st["b_tint"].y),
-                msel(mat[mi, 18], st["b_tint"].z),
+                msel(16, st["b_tint"].x),
+                msel(17, st["b_tint"].y),
+                msel(18, st["b_tint"].z),
             )
-    return st, visits
+    return st
 
 
 # attribute columns the resolve pass extracts, in order: geometric
@@ -868,6 +1036,16 @@ def _resolve_winners(tiles, paged, o, d, best_key, best_page, hit, in_kernel, ze
 
     out = lax.while_loop(cond, body, carry0)
     acc = list(out[1 + w_n :])
+    return _winner_math(o, d, hit, acc, smooth)
+
+
+def _winner_math(o: V3, d: V3, hit, acc, smooth: bool):
+    """Exact hit t + shading normal from winner attributes.
+
+    ``acc`` is a list of lane grids in ``_RES_COLS`` order (first 6
+    always; the smooth extras only when ``smooth``).  The exact t is
+    recomputed from the winner's geometric plane — the packed key's t
+    has its low 7 mantissa bits replaced by the slot."""
     gnx, gny, gnz, d_plane, mat_f, obj_f = acc[:6]
 
     # exact t from the winner's geometric plane: t = (d_plane - n.o)/(n.d)
@@ -900,12 +1078,14 @@ def _resolve_winners(tiles, paged, o, d, best_key, best_page, hit, in_kernel, ze
 
 
 def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
-    """Any-hit dense paged traversal for shadow rays: same prepass and
-    page cursor, boolean result.  Already-blocked lanes mark no pages;
-    a lane that finds any hit drops its remaining pages."""
+    """Any-hit paged traversal for shadow rays: boolean result.
+    Already-blocked lanes mark no pages; a lane that finds any hit drops
+    its remaining pages.  Kernel path uses the per-lane gather loop."""
     paged: PagedBvh = pack.paged
     if paged is None or paged.n_pages == 0:
         return blocked
+    if _use_gather(pack):
+        return _occluded_gather(o, d, pack, t_min, t_max, blocked)
     t_min = _F(t_min)
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     zero_i = _lane_zero_i32(o.x)
@@ -946,3 +1126,305 @@ def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
 
     out = lax.while_loop(cond, body, carry0)
     return out[1 + w_n] != 0
+
+
+# ---------------------------------------------------------------------------
+# Per-lane gather traversal (kernel path) — the round-3 redesign, v3
+# ---------------------------------------------------------------------------
+#
+# The dense sweep's cost on divergent content is the PACKET UNION of
+# wanted pages, but measured per-LANE wanted counts are tiny
+# (tools/perf/union_stats.py on the 10k-tri bench scene: bounce rays
+# want 1.4 pages/lane on average, max ~3 per 128-lane row — while the
+# row union is 71 of 80 pages).  This traversal does per-lane work:
+#
+#   round i: each lane pops ITS OWN next wanted page (lowest set bit of
+#   its mask words — pure vector bit ops, no cross-lane reduction); a
+#   one-hot (pages, lanes) matrix against the per-attr transposed table
+#   (build_gather_table) turns ONE MXU matmul into a 128-wide gather:
+#   G = dot(table[(attr,tri), page], onehot[page, lane]) yields each
+#   lane's own page as (PAGE_TRIS, LANE) attribute grids, and the same
+#   dense plane-form test as the page sweep scores every (tri, lane)
+#   pair.  Rounds per row = the MAX wanted count over its 128 lanes
+#   (~3-7 on real content) instead of the 70+ page union.
+#
+# The one-hot matmul must be an EXACT f32 selection: with
+# Precision.HIGHEST the f32 operand is split into three bf16 limbs
+# (8+8+8 mantissa bits >= f32's 24) and each limb is multiplied by an
+# exactly-representable 0.0/1.0, accumulating in f32 — bit-exact, so
+# the kernel stays bit-comparable with the XLA dense path.
+#
+# Winner resolve: one more gather round per row against the lane's
+# winning page; a slot one-hot recovers the attributes, and the shared
+# _winner_math recomputes the exact t.
+
+
+def _use_gather(pack) -> bool:
+    if os.environ.get("PATHTRACER_BVH_GATHER", "") in ("0", "false", "off"):
+        return False
+    return _is_ref(pack.page_gather)
+
+
+# gathered block index by page-tile column (see build_gather_table);
+# block _A_TEST is the page axis center (_G_CENTER), the early-stop input
+_G_CENTER = _A_TEST
+_G_BLOCK = {c: i for i, c in enumerate(_G_TEST_COLS)}
+
+
+def _bf16_limbs(g):
+    """Split an f32 array into three bf16 limbs with g == hi+mid+lo
+    exactly (8+8+8 mantissa bits cover f32's 24)."""
+    hi = g.astype(jnp.bfloat16)
+    r1 = g - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _gather_dot(limbs, onehot):
+    """Exact-f32 one-hot page gather on the MXU: three bf16 limb
+    matmuls against an exactly-representable 0/1 matrix, accumulated in
+    f32 — bit-exact selection at 3 MXU passes (Precision.HIGHEST on two
+    f32 operands would run 9)."""
+    oh = onehot.astype(jnp.bfloat16)
+    acc = None
+    for limb in limbs:
+        t = lax.dot_general(
+            limb, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _pop_dir(words_r, sent, fwd):
+    """Per-lane page pop, direction-aware: the lowest wanted page where
+    ``fwd`` (ray advances along the sort axis) else the highest — pages
+    are index-sorted by axis center, so this is near-to-far per lane.
+    Returns (p_l, words with the popped bit cleared)."""
+    p_lo = _next_wanted(words_r, sent)
+    p_hi = None
+    for j, w in enumerate(words_r):
+        # isolate the top set bit exactly (fill-down, then f - f>>1);
+        # the float-exponent trick is then exact on a power of two
+        f = w | (w >> 1)
+        f = f | (f >> 2)
+        f = f | (f >> 4)
+        f = f | (f >> 8)
+        f = f | (f >> 16)
+        top = f - (f >> 1)
+        bits = lax.bitcast_convert_type(top.astype(jnp.float32), jnp.int32)
+        idx = (bits >> 23) - 127 + MASK_BITS * j
+        cand = jnp.where(w > 0, idx, -1)
+        p_hi = cand if p_hi is None else jnp.maximum(p_hi, cand)
+    p_hi = jnp.where(p_hi < 0, sent, p_hi)
+    p_l = jnp.where(fwd, p_lo, p_hi)
+    return p_l, _clear_bit(words_r, p_l)
+
+
+def _clear_bit(words_r, p_l):
+    out = []
+    one = jnp.ones((), jnp.int32)
+    for j, w in enumerate(words_r):
+        rel = p_l - MASK_BITS * j
+        in_w = (rel >= 0) & (rel < MASK_BITS)
+        bit = lax.shift_left(one + (w & 0), jnp.clip(rel, 0, MASK_BITS - 1))
+        out.append(jnp.where(in_w, w & ~bit, w))
+    return out
+
+
+def _gather_round(g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r):
+    """One gather round for one sublane row: returns the per-pair winner
+    key min-reduced to (1, LANE) plus the popped page's axis center."""
+    iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+    onehot = iota_p == p_l
+    g = _gather_dot(g_limbs, onehot)  # ((A_TEST+1)*PAGE_TRIS, LANE)
+
+    blk = lambda c: g[_G_BLOCK[c] * PAGE_TRIS : (_G_BLOCK[c] + 1) * PAGE_TRIS, :]  # noqa: E731
+    k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
+    keys = _mt_key(
+        blk,
+        o_r.x, o_r.y, o_r.z,
+        d_r.x, d_r.y, d_r.z,
+        t_min,
+        _key_upper_t(best_key_r),
+        t_max_r,
+        excl_r,
+        k_iota,
+        jnp.int32(_big_key()),
+    )
+    c_ax = g[_G_CENTER * PAGE_TRIS : _G_CENTER * PAGE_TRIS + 1, :]
+    return jnp.min(keys, axis=0, keepdims=True), c_ax
+
+
+def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite):
+    """Closest-hit per-lane gather traversal (kernel path)."""
+    paged: PagedBvh = pack.paged
+    t_min = _F(t_min)
+    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
+    n_pages = paged.n_pages
+    sent = jnp.int32(n_pages)
+    smooth = paged.any_smooth
+
+    g_limbs_all = _bf16_limbs(pack.page_gather[...])
+    p_pad = g_limbs_all[0].shape[1]
+    g_limbs = tuple(l[: (_A_TEST + 1) * PAGE_TRIS, :] for l in g_limbs_all)
+    g_limbs_res = tuple(l[(_A_TEST + 1) * PAGE_TRIS :, :] for l in g_limbs_all)
+    ax = paged.sort_axis
+    margin = _F(paged.sort_margin)
+    o_ax, d_ax = (o.x, o.y, o.z)[ax], (d.x, d.y, d.z)[ax]
+
+    bwords, splits = _page_prepass_bucketed(
+        o, d, inv, paged, t_min, state["best_t"], t_max=t_max
+    )
+    best_key0 = (
+        lax.bitcast_convert_type(state["best_t"] + o.x * _F(0.0), jnp.int32)
+        | jnp.int32(_KEY_SLOT_MASK)
+    )
+
+    rows = o.x.shape[0]
+    w_n = paged.mask_words
+    nb = len(bwords)
+    nw = nb * w_n
+    key_rows, page_rows, res_rows = [], [], []
+    visits = jnp.zeros((), jnp.int32)
+    n_res = len(_RES_COLS) if smooth else 6
+
+    for s in range(rows):
+        sl = lambda a: a[s : s + 1, :]  # noqa: E731
+        o_r = V3(sl(o.x), sl(o.y), sl(o.z))
+        d_r = V3(sl(d.x), sl(d.y), sl(d.z))
+        t_max_r = _lane_arg(t_max, s)
+        excl_r = (
+            None
+            if exclude_obj is None
+            else _lane_arg(exclude_obj, s).astype(jnp.float32)
+        )
+        fwd_r = sl(d_ax) >= 0
+        inv_ax_r = _F(1.0) / sl(d_ax)
+        o_ax_r = sl(o_ax)
+        splits_r = [sl(sp) for sp in splits]
+        flat0 = [sl(w) for wb in bwords for w in wb]
+        carry0 = tuple(flat0) + (sl(best_key0), sl(best_key0) * 0 - 1, visits)
+
+        def cond(carry):
+            w_any = carry[0]
+            for w in carry[1:nw]:
+                w_any = w_any | w
+            return jnp.max(w_any) > 0
+
+        def body(carry):
+            bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
+            bk, bp, vis = carry[nw], carry[nw + 1], carry[nw + 2]
+            p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r)
+            page_key, c_ax = _gather_round(
+                g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r
+            )
+            new_key = jnp.minimum(bk, page_key)
+            bp = jnp.where(new_key < bk, p_l, bp)
+            ut = _key_upper_t(new_key)
+            # exact near-to-far early stop within the popped bucket:
+            # every page remaining there (axis-sorted, direction-aware
+            # pop) has slab entry >= (c_ax - o)/d - margin/|d|
+            t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
+            ax_stop = t_entry > ut
+            # exact bucket kill: bucket b's pages all have entry t >=
+            # splits[b-1] (by prepass construction)
+            for b in range(nb):
+                kill = ax_stop & selb[b]
+                if b >= 1:
+                    kill = kill | (splits_r[b - 1] > ut)
+                bws[b] = [jnp.where(kill, 0, w) for w in bws[b]]
+            flat = [w for wb in bws for w in wb]
+            return tuple(flat) + (new_key, bp, vis + 1)
+
+        out = lax.while_loop(cond, body, carry0)
+        bk_r, bp_r, visits = out[nw], out[nw + 1], out[nw + 2]
+        key_rows.append(bk_r)
+        page_rows.append(bp_r)
+
+        # ---- winner resolve: one gather against the winning page over
+        # the resolve-only blocks, then a slot one-hot extraction
+        iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+        g_win = _gather_dot(g_limbs_res, iota_p == bp_r)
+        slot_r = bk_r & jnp.int32(_KEY_SLOT_MASK)
+        k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
+        s_onehot = (k_iota == slot_r).astype(jnp.float32)
+        res_rows.append(
+            [
+                jnp.sum(
+                    s_onehot * g_win[ai * PAGE_TRIS : (ai + 1) * PAGE_TRIS, :],
+                    axis=0,
+                    keepdims=True,
+                )
+                for ai in range(n_res)
+            ]
+        )
+
+    best_page = jnp.concatenate(page_rows, axis=0)
+    hit = best_page >= 0
+    acc = [
+        jnp.concatenate([r[i] for r in res_rows], axis=0) for i in range(n_res)
+    ]
+    res = _winner_math(o, d, hit, acc, smooth)
+    return _merge_winner_state(pack, state, res, hit, lite), visits
+
+
+def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
+    """Any-hit per-lane gather traversal for shadow rays (kernel path)."""
+    paged: PagedBvh = pack.paged
+    t_min = _F(t_min)
+    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
+    sent = jnp.int32(paged.n_pages)
+    w_n = paged.mask_words
+
+    g_limbs_all = _bf16_limbs(pack.page_gather[...])
+    p_pad = g_limbs_all[0].shape[1]
+    g_limbs = tuple(l[: (_A_TEST + 1) * PAGE_TRIS, :] for l in g_limbs_all)
+
+    big_t = o.x * _F(0.0) + _F(_BIG_T)  # desplat (Mosaic layout bug)
+    # bucketed near-to-far popping: a shadow ray usually blocks on the
+    # page nearest its origin, so draining near buckets first lets most
+    # lanes drop out after one round
+    bwords, _splits = _page_prepass_bucketed(
+        o, d, inv, paged, t_min, big_t, t_max=t_max, skip=blocked
+    )
+    key0 = lax.bitcast_convert_type(big_t, jnp.int32) | jnp.int32(_KEY_SLOT_MASK)
+    ax = paged.sort_axis
+    d_ax = (d.x, d.y, d.z)[ax]
+    nb = len(bwords)
+    nw = nb * w_n
+
+    rows = o.x.shape[0]
+    blk_rows = []
+    for s in range(rows):
+        sl = lambda a: a[s : s + 1, :]  # noqa: E731
+        o_r = V3(sl(o.x), sl(o.y), sl(o.z))
+        d_r = V3(sl(d.x), sl(d.y), sl(d.z))
+        t_max_r = _lane_arg(t_max, s)
+        key0_r = sl(key0)
+        fwd_r = sl(d_ax) >= 0
+        flat0 = [sl(w) for wb in bwords for w in wb]
+        blk0 = sl(blocked).astype(jnp.int32)
+        carry0 = tuple(flat0) + (blk0,)
+
+        def cond(carry):
+            w_any = carry[0]
+            for w in carry[1:nw]:
+                w_any = w_any | w
+            return jnp.max(w_any) > 0
+
+        def body(carry):
+            bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
+            blk = carry[nw]
+            p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r)
+            page_key, _c_ax = _gather_round(
+                g_limbs, p_l, p_pad, o_r, d_r, t_min, key0_r, t_max_r, None
+            )
+            blk = blk | (page_key < key0_r).astype(jnp.int32)
+            dead = blk != 0
+            flat = [jnp.where(dead, 0, w) for wb in bws for w in wb]
+            return tuple(flat) + (blk,)
+
+        out = lax.while_loop(cond, body, carry0)
+        blk_rows.append(out[nw])
+    return jnp.concatenate(blk_rows, axis=0) != 0

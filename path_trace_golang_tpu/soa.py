@@ -101,6 +101,13 @@ class ScenePack:
     obj_mats: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     light_objs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     mat_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # Per-column uniformity of the material table: entry c is the shared
+    # float value when every material row agrees on column c, else None.
+    # The winner select-chains (ops/geometry.intersect_world,
+    # ops/bvh._merge_winner_state) skip selects for uniform columns and
+    # broadcast the constant instead — scenes that never vary a field
+    # (tint, absorption, smoothness, ...) drop those ops at trace time.
+    mat_uniform: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     # --- triangle-mesh extension (BASELINE.json north star) ---
     # tri rows are in BVH order, padded by LEAF_SIZE zero rows:
     # [v0.xyz, e1.xyz, e2.xyz, mat_idx, obj_idx, smooth_flag,
@@ -119,6 +126,10 @@ class ScenePack:
     # precomputed plane/barycentric-dual constants on lanes; page bboxes
     # are static scalar immediates on ``paged`` (PagedBvh.page_bounds).
     page_tiles: Optional[jax.Array] = None  # f32[max(P,1), 128, 32]
+    # per-attr transposed gather table (bvh.build_gather_table): row
+    # a*128+j = attr a of slot j, pages on lanes — the in-kernel per-lane
+    # traversal turns one dot(page_gather, onehot) into an MXU gather
+    page_gather: Optional[jax.Array] = None  # f32[A*128, P_pad]
     paged: object = dataclasses.field(default=None, metadata=dict(static=True))
     # defocus model (scene camera extension, PHYSICS.md Q4): False =
     # reference's faithful unit-ball bokeh, True = thin-lens disk
@@ -377,16 +388,25 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     bvh_bounds = np.zeros((1, 6), np.float32)
     tri_rows = np.zeros((1, 24), np.float32)
     page_tiles = np.zeros((1, 128, 32), np.float32)
+    page_gather = np.zeros((8, 128), np.float32)
     if t_count:
-        from .ops.bvh import LEAF_SIZE, build_bvh, build_paged_bvh, use_dynamic_walk
+        from .ops.bvh import (
+            LEAF_SIZE,
+            build_bvh,
+            build_gather_table,
+            build_paged_bvh,
+            use_dynamic_walk,
+        )
 
         v0 = np.asarray(tri_v0)
         e1 = np.asarray(tri_e1)
         e2 = np.asarray(tri_e2)
         if use_dynamic_walk(t_count):
-            # Dense paged sweep (bvh.py round-3 redesign): page bboxes
-            # bake into the traced code as scalar immediates; wanted
-            # pages sweep densely as (triangle, ray) cross tiles.
+            # Paged traversal (bvh.py round-3 redesign): page bboxes bake
+            # into the traced code as scalar immediates; the XLA path
+            # sweeps wanted pages densely (page_tiles), the Pallas kernel
+            # gathers each lane's own page via one-hot matmul
+            # (page_gather).
             paged, page_tiles, _page_bbox = build_paged_bvh(
                 v0,
                 e1,
@@ -396,6 +416,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 tri_smooth_list,
                 tri_vn,
             )
+            page_gather = build_gather_table(page_tiles, paged)
         else:
             # Static unrolled walk: one 24-float row per BVH-ordered
             # triangle (geometry, material/object indices as exact small
@@ -429,6 +450,10 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         obj_mats=tuple(int(m) for m in obj[:o_count, 1]) if o_count else (),
         light_objs=tuple(int(i) for i in light_list),
         mat_types=tuple(int(t) for t in mat[:m_count, 0]) if m_count else (),
+        mat_uniform=tuple(
+            float(mat[0, c]) if bool(np.all(mat[:, c] == mat[0, c])) else None
+            for c in range(MAT_STRIDE)
+        ),
         tri=jax.numpy.asarray(tri_rows),
         bvh_bounds=jax.numpy.asarray(bvh_bounds),
         n_triangles=t_count,
@@ -436,6 +461,7 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         tri_smooth=tuple(tri_smooth_list),
         bvh=topo,
         page_tiles=jax.numpy.asarray(page_tiles),
+        page_gather=jax.numpy.asarray(page_gather),
         paged=paged,
         lens_disk=(getattr(sc.camera, "lens", "ball") == "disk"),
     )
