@@ -889,7 +889,7 @@ def trace_grid(orig: V3, dirv: V3, state, pack: ScenePack, cfg: TraceConfig, act
         from .ops import pallas_trace
 
         if pallas_trace.pallas_supported(orig.x.shape, pack, cfg, active):
-            return pallas_trace.trace_grid_pallas(orig, dirv, state, pack, cfg)
+            return pallas_trace.trace_grid_pallas(orig, dirv, state, pack, cfg, active)
     if cfg.contract == "cpu":
         return _trace_cpu(orig, dirv, state, pack, cfg, active)
     return _trace_gpu(orig, dirv, state, pack, cfg, active)
@@ -903,6 +903,10 @@ def trace(orig, dirv, state, pack: ScenePack, cfg: TraceConfig):
     """
     n = orig.shape[0]
     rows = -(-n // LANE)
+    if rows > 8:
+        # multiples of 8 sublanes keep padded grids Pallas-eligible
+        # (Mosaic block-shape rule, ops/pallas_trace.pallas_supported)
+        rows = -(-rows // 8) * 8
     n_pad = rows * LANE
 
     def pad(a):

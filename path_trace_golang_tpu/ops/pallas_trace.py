@@ -46,12 +46,19 @@ SMEM_TRI_MAX = 2048
 
 
 def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
-    """Static eligibility check for the Pallas fast path."""
-    if active is not None:
-        return False
+    """Static eligibility check for the Pallas fast path.
+
+    ``active`` padding masks ride into the kernel as one extra lane
+    input (the integrator's trace_fn consumes them directly), so padded
+    grids — the public ``trace()`` row-vector API — stay eligible."""
     if len(shape) != 2 or shape[1] != LANE:
         return False
-    if shape[0] % _block_rows(shape, getattr(cfg, "max_depth", 12)) != 0:
+    br = _block_rows(shape, getattr(cfg, "max_depth", 12))
+    if shape[0] % br != 0:
+        return False
+    # Mosaic lowering wants block sublanes divisible by 8 (or the whole
+    # array); integrator.trace pads row counts to a multiple of 8
+    if br % 8 != 0 and br != shape[0]:
         return False
     # VMEM budget for the paged triangle table: lane padding makes a
     # (P*128, 24) f32 table cost P*64KB of VMEM, so ~96 pages (~12k
@@ -80,9 +87,11 @@ def _block_rows(shape, max_depth: int = 12, regen: bool = False) -> int:
     return max(br, 1)
 
 
-def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
+def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg, active=None):
     """Pallas-backed drop-in for integrator.trace_grid (gpu/cpu contracts).
 
+    ``active``: optional bool padding mask (True = live lane); rides in
+    as one more lane input so padded grids keep the kernel path.
     Returns (radiance V3, new_state, segments i32 scalar).
     """
     from .. import integrator as integ
@@ -104,6 +113,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         tri_ref,
         bvh_ref,
         ptile_ref,
+        pgat_ref,
         ox_ref,
         oy_ref,
         oz_ref,
@@ -111,12 +121,11 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         dy_ref,
         dz_ref,
         st_ref,
-        rx_ref,
-        ry_ref,
-        rz_ref,
-        sto_ref,
-        seg_ref,
+        *rest,
     ):
+        if active is not None:
+            act_ref, rest = rest[0], rest[1:]
+        rx_ref, ry_ref, rz_ref, sto_ref, seg_ref = rest
         pack_k = dataclasses.replace(
             pack,
             mat=mat_ref,
@@ -128,10 +137,12 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             tri=tri_ref,
             bvh_bounds=bvh_ref,
             page_tiles=ptile_ref,
+            page_gather=pgat_ref,
         )
         o = V3(ox_ref[:], oy_ref[:], oz_ref[:])
         d = V3(dx_ref[:], dy_ref[:], dz_ref[:])
-        rad, st, segs = trace_fn(o, d, st_ref[:], pack_k, cfg)
+        act = None if active is None else (act_ref[:] != 0)
+        rad, st, segs = trace_fn(o, d, st_ref[:], pack_k, cfg, active=act)
         rx_ref[:] = rad.x
         ry_ref[:] = rad.y
         rz_ref[:] = rad.z
@@ -167,6 +178,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             table(),  # tri
             table(),  # bvh_bounds
             vmem(),  # page_tiles
+            vmem(),  # page_gather
             lane_in,
             lane_in,
             lane_in,
@@ -174,7 +186,8 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
             lane_in,
             lane_in,
             lane_in,
-        ],
+        ]
+        + ([lane_in] if active is not None else []),
         out_specs=(
             lane_out,
             lane_out,
@@ -193,6 +206,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         pack.tri,
         pack.bvh_bounds,
         pack.page_tiles,
+        pack.page_gather,
         orig.x,
         orig.y,
         orig.z,
@@ -200,6 +214,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg):
         dirv.y,
         dirv.z,
         state,
+        *(() if active is None else (active.astype(jnp.int32),)),
     )
     return V3(rx, ry, rz), st_out, jnp.sum(segs)
 
@@ -218,6 +233,7 @@ def render_pass_pallas(
     has_aperture: bool,
     normalize_pass: bool,
     n_passes: int = 1,
+    active=None,
 ):
     """Whole-pass Pallas kernel: camera ray-gen, the stratified sample
     loop (or the merged regeneration loop, integrator.pass_regen_gpu), the
@@ -227,7 +243,9 @@ def render_pass_pallas(
     ``n_passes > 1`` renders a whole window of progressive passes in one
     launch (regeneration loop only).
 
-    px/py: i32 pixel-coordinate lane grids.  Returns (col V3, segs i32).
+    px/py: i32 pixel-coordinate lane grids; ``active`` an optional bool
+    padding mask riding in as one extra lane input.
+    Returns (col V3, segs i32).
     """
     from .. import integrator as integ
     from .. import render as render_mod
@@ -249,14 +267,15 @@ def render_pass_pallas(
         tri_ref,
         bvh_ref,
         ptile_ref,
+        pgat_ref,
         seed_ref,
         px_ref,
         py_ref,
-        cx_ref,
-        cy_ref,
-        cz_ref,
-        seg_ref,
+        *rest,
     ):
+        if active is not None:
+            act_ref, rest = rest[0], rest[1:]
+        cx_ref, cy_ref, cz_ref, seg_ref = rest
         pack_k = dataclasses.replace(
             pack,
             mat=mat_ref,
@@ -268,7 +287,9 @@ def render_pass_pallas(
             tri=tri_ref,
             bvh_bounds=bvh_ref,
             page_tiles=ptile_ref,
+            page_gather=pgat_ref,
         )
+        act = None if active is None else (act_ref[:] != 0)
         col, segs = render_mod.pass_body_grid(
             pack_k,
             seed_ref[0],
@@ -282,7 +303,8 @@ def render_pass_pallas(
             has_aperture=has_aperture,
             normalize_pass=normalize_pass,
             n_passes=n_passes,
-            trace_fn=lambda o, d, s: trace_core(o, d, s, pack_k, tcfg),
+            trace_fn=lambda o, d, s: trace_core(o, d, s, pack_k, tcfg, active=act),
+            active=act,
         )
         cx_ref[:] = col.x
         cy_ref[:] = col.y
@@ -317,10 +339,12 @@ def render_pass_pallas(
             table(),  # tri
             table(),  # bvh_bounds
             vmem(),  # page_tiles
+            vmem(),  # page_gather
             smem(),  # frame_seed
             lane_in,  # px
             lane_in,  # py
-        ],
+        ]
+        + ([lane_in] if active is not None else []),
         out_specs=(
             lane_out,
             lane_out,
@@ -338,9 +362,11 @@ def render_pass_pallas(
         pack.tri,
         pack.bvh_bounds,
         pack.page_tiles,
+        pack.page_gather,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,
         py,
+        *(() if active is None else (active.astype(jnp.int32),)),
     )
     return V3(cx, cy, cz), jnp.sum(segs)
 

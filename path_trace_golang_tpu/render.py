@@ -295,6 +295,10 @@ def trace_pass_lanes(
 
     n = idx.shape[0]
     rows = -(-n // LANE)
+    if rows > 8:
+        # multiples of 8 sublanes keep padded grids Pallas-eligible
+        # (Mosaic block-shape rule, ops/pallas_trace.pallas_supported)
+        rows = -(-rows // 8) * 8
     n_pad = rows * LANE
     if n_pad != n:
         idx = jnp.pad(idx, (0, n_pad - n))
@@ -320,7 +324,9 @@ def trace_pass_lanes(
         os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
         and pallas_trace.pallas_supported((rows, LANE), pack, tcfg, active)
     ):
-        col, segs = pallas_trace.render_pass_pallas(pack, frame_seed, px, py, **kwargs)
+        col, segs = pallas_trace.render_pass_pallas(
+            pack, frame_seed, px, py, active=active, **kwargs
+        )
     else:
         col, segs = pass_body_grid(
             pack,
