@@ -149,15 +149,24 @@ def intersect_world(
     best_mtyp = iz
     b_c = V3(fz, fz, fz)
     b_s = V3(fz, fz, fz)
-    b_rough = fz
-    b_ior = fz
-    b_smooth = fz
-    b_refl = fz
-    b_abss = fz
-    b_albedo = V3(fz, fz, fz)
-    b_emit = V3(fz, fz, fz)
-    b_absorb = V3(fz, fz, fz)
-    b_tint = V3(fz, fz, fz)
+
+    # Per-scene-uniform material columns skip the whole select chain:
+    # the field is a broadcast constant (soa.ScenePack.mat_uniform), and
+    # every consumer masks by the hit anyway.
+    uni = pack.mat_uniform or (None,) * 20
+
+    def _minit(c):
+        return fz if uni[c] is None else jnp.full(shape, uni[c], jnp.float32)
+
+    b_rough = _minit(1)
+    b_ior = _minit(2)
+    b_smooth = _minit(3)
+    b_refl = _minit(7)
+    b_abss = _minit(15)
+    b_albedo = V3(_minit(4), _minit(5), _minit(6))
+    b_emit = V3(_minit(8), _minit(9), _minit(10))
+    b_absorb = V3(_minit(12), _minit(13), _minit(14))
+    b_tint = V3(_minit(16), _minit(17), _minit(18))
 
     mat = pack.mat
     for m, typ, (cx, cy, cz), (sx, sy, sz), t, ok in _object_candidates(
@@ -174,26 +183,29 @@ def intersect_world(
         best_type = jnp.where(better, typ, best_type)
         best_mtyp = jnp.where(better, pack.mat_types[mi] if mi < len(pack.mat_types) else 0, best_mtyp)
         sel = lambda a, b: jnp.where(better, a, b)  # noqa: E731
+        msel = lambda c, b: b if uni[c] is not None else sel(mat[mi, c], b)  # noqa: E731
         b_c = V3(sel(cx, b_c.x), sel(cy, b_c.y), sel(cz, b_c.z))
         b_s = V3(sel(sx, b_s.x), sel(sy, b_s.y), sel(sz, b_s.z))
-        b_emit = V3(sel(mat[mi, 8], b_emit.x), sel(mat[mi, 9], b_emit.y), sel(mat[mi, 10], b_emit.z))
+        b_emit = V3(msel(8, b_emit.x), msel(9, b_emit.y), msel(10, b_emit.z))
         if not lite:
             best_m = jnp.where(better, m, best_m)
             best_mat = jnp.where(better, mi, best_mat)
-            b_rough = sel(mat[mi, 1], b_rough)
-            b_ior = sel(mat[mi, 2], b_ior)
-            b_smooth = sel(mat[mi, 3], b_smooth)
-            b_refl = sel(mat[mi, 7], b_refl)
-            b_abss = sel(mat[mi, 15], b_abss)
-            b_albedo = V3(sel(mat[mi, 4], b_albedo.x), sel(mat[mi, 5], b_albedo.y), sel(mat[mi, 6], b_albedo.z))
-            b_absorb = V3(sel(mat[mi, 12], b_absorb.x), sel(mat[mi, 13], b_absorb.y), sel(mat[mi, 14], b_absorb.z))
-            b_tint = V3(sel(mat[mi, 16], b_tint.x), sel(mat[mi, 17], b_tint.y), sel(mat[mi, 18], b_tint.z))
+            b_rough = msel(1, b_rough)
+            b_ior = msel(2, b_ior)
+            b_smooth = msel(3, b_smooth)
+            b_refl = msel(7, b_refl)
+            b_abss = msel(15, b_abss)
+            b_albedo = V3(msel(4, b_albedo.x), msel(5, b_albedo.y), msel(6, b_albedo.z))
+            b_absorb = V3(msel(12, b_absorb.x), msel(13, b_absorb.y), msel(14, b_absorb.z))
+            b_tint = V3(msel(16, b_tint.x), msel(17, b_tint.y), msel(18, b_tint.z))
 
     # --- triangle BVH sweep (mesh extension; ops/bvh.py) ---
     tri_nx = fz
     tri_ny = fz
     tri_nz = fz
-    if pack.n_triangles:
+    import os as _os
+
+    if pack.n_triangles and not _os.environ.get("PATHTRACER_PROF_NO_MESH_HIT"):
         from . import bvh as bvh_mod
 
         state = dict(
@@ -327,7 +339,9 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
     blocked = jnp.zeros(o.x.shape, dtype=bool)
     for _m, _typ, _c, _s, t, ok in _object_candidates(o, d, pack, _F(t_min)):
         blocked = blocked | (ok & (t <= t_max))
-    if pack.n_triangles:
+    import os as _os
+
+    if pack.n_triangles and not _os.environ.get("PATHTRACER_PROF_NO_MESH_OCCL"):
         from . import bvh as bvh_mod
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
