@@ -24,7 +24,16 @@ import os
 import subprocess
 import sys
 
-import numpy as np
+# Pin to host CPU before any backend initializes: the image's
+# sitecustomize force-sets jax_platforms="axon,cpu", so the env var
+# alone is not enough (see tests/conftest.py), and the float64 cpu
+# contract belongs on the host anyway.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, ".."))

@@ -201,12 +201,16 @@ def _render_bench(sc, w, h) -> int:
     t0 = time.perf_counter()
     renderer.render(sc, cfg)  # warm/compile
     print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    img = renderer.render(sc, cfg)
-    dt = time.perf_counter() - t0
+    # the axon tunnel's wall clock is noisy (shared hop): report best of 3
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = renderer.render(sc, cfg)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     s = renderer.stats
     print(
-        f"render {w}x{h}@1pass depth 8: {dt:.2f}s, "
+        f"render {w}x{h}@1pass depth 8: best {dt:.2f}s of {[round(t, 2) for t in times]}, "
         f"{s.ray_segments / dt / 1e6:.1f} Mrays/s, image mean {img.mean():.1f}"
     )
     return 0
