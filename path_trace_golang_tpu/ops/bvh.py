@@ -764,6 +764,31 @@ def _lane_arg(a, s):
     return a[s : s + 1, :]
 
 
+# sublane rows fused per gather round (see _traverse_gather).  8 rows
+# overflow the 16 MB scoped-VMEM budget inside the whole-pass kernel
+# (the (attrs*slots, G*128) gathered grid plus the bounce-loop state);
+# 4 already amortizes most of the per-round overhead.
+GROUP_ROWS = 4
+
+
+def _unflatten_row(x, gstep):
+    """(1, gstep*128) -> (gstep, 128), inverse of _flatten_rows.
+
+    The lanes->sublanes direction is NOT a supported Mosaic shape cast
+    (it reaches layout inference as a rank-1 vector), so rebuild rows as
+    masked broadcasts: every op here is elementwise or a plain
+    broadcast, which carries no layout-offset constraints."""
+    if gstep == 1:
+        return x
+    lane = x.shape[1] // gstep
+    riota = lax.broadcasted_iota(jnp.int32, (gstep, 1), 0)
+    out = None
+    for i in range(gstep):
+        piece = jnp.broadcast_to(x[:, i * lane : (i + 1) * lane], (gstep, lane))
+        out = piece if out is None else jnp.where(riota == i, piece, out)
+    return out
+
+
 def _lead_arg(a):
     """Add a leading triangle axis to lane grids; pass scalars through."""
     if a is None or getattr(a, "ndim", 0) != 2:
@@ -1260,7 +1285,6 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
     """Closest-hit per-lane gather traversal (kernel path)."""
     paged: PagedBvh = pack.paged
     t_min = _F(t_min)
-    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     n_pages = paged.n_pages
     sent = jnp.int32(n_pages)
     smooth = paged.any_smooth
@@ -1271,17 +1295,43 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
     g_limbs_res = tuple(l[(_A_TEST + 1) * PAGE_TRIS :, :] for l in g_limbs_all)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
-    o_ax, d_ax = (o.x, o.y, o.z)[ax], (d.x, d.y, d.z)[ax]
+
+    # GROUP_ROWS sublane rows share each gather round: the whole grid
+    # flattens ONCE to (rows/G, G*128) — float/int reshapes only; bool
+    # results never cross a reshape (Mosaic rejects i1 shape casts) —
+    # the one-hot widens to (P, G*128), and the while-loop / pop /
+    # matmul overhead amortizes G-fold.  Rounds per group = the max
+    # wanted count over G*128 lanes, barely above the per-row max on
+    # real content.
+    rows = o.x.shape[0]
+    gstep = GROUP_ROWS if rows % GROUP_ROWS == 0 else 1
+    gl = gstep * o.x.shape[1]
+    grows = rows // gstep
+    gf = lambda a: a.reshape(grows, gl)  # noqa: E731
+    of = V3(gf(o.x), gf(o.y), gf(o.z))
+    df = V3(gf(d.x), gf(d.y), gf(d.z))
+    inv = V3(_F(1.0) / df.x, _F(1.0) / df.y, _F(1.0) / df.z)
+    t_max_f = gf(t_max) if getattr(t_max, "ndim", 0) == 2 else t_max
+    excl_f = (
+        None
+        if exclude_obj is None
+        else (
+            gf(exclude_obj).astype(jnp.float32)
+            if getattr(exclude_obj, "ndim", 0) == 2
+            else exclude_obj.astype(jnp.float32)
+        )
+    )
+    best_t_f = gf(state["best_t"])
+    o_ax, d_ax = (of.x, of.y, of.z)[ax], (df.x, df.y, df.z)[ax]
 
     bwords, splits = _page_prepass_bucketed(
-        o, d, inv, paged, t_min, state["best_t"], t_max=t_max
+        of, df, inv, paged, t_min, best_t_f, t_max=t_max_f
     )
     best_key0 = (
-        lax.bitcast_convert_type(state["best_t"] + o.x * _F(0.0), jnp.int32)
+        lax.bitcast_convert_type(best_t_f + of.x * _F(0.0), jnp.int32)
         | jnp.int32(_KEY_SLOT_MASK)
     )
 
-    rows = o.x.shape[0]
     w_n = paged.mask_words
     nb = len(bwords)
     nw = nb * w_n
@@ -1289,16 +1339,12 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
     visits = jnp.zeros((), jnp.int32)
     n_res = len(_RES_COLS) if smooth else 6
 
-    for s in range(rows):
+    for s in range(grows):
         sl = lambda a: a[s : s + 1, :]  # noqa: E731
-        o_r = V3(sl(o.x), sl(o.y), sl(o.z))
-        d_r = V3(sl(d.x), sl(d.y), sl(d.z))
-        t_max_r = _lane_arg(t_max, s)
-        excl_r = (
-            None
-            if exclude_obj is None
-            else _lane_arg(exclude_obj, s).astype(jnp.float32)
-        )
+        o_r = V3(sl(of.x), sl(of.y), sl(of.z))
+        d_r = V3(sl(df.x), sl(df.y), sl(df.z))
+        t_max_r = _lane_arg(t_max_f, s)
+        excl_r = _lane_arg(excl_f, s)
         fwd_r = sl(d_ax) >= 0
         inv_ax_r = _F(1.0) / sl(d_ax)
         o_ax_r = sl(o_ax)
@@ -1339,8 +1385,8 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
 
         out = lax.while_loop(cond, body, carry0)
         bk_r, bp_r, visits = out[nw], out[nw + 1], out[nw + 2]
-        key_rows.append(bk_r)
-        page_rows.append(bp_r)
+        key_rows.append(_unflatten_row(bk_r, gstep))
+        page_rows.append(_unflatten_row(bp_r, gstep))
 
         # ---- winner resolve: one gather against the winning page over
         # the resolve-only blocks, then a slot one-hot extraction
@@ -1351,10 +1397,13 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
         s_onehot = (k_iota == slot_r).astype(jnp.float32)
         res_rows.append(
             [
-                jnp.sum(
-                    s_onehot * g_win[ai * PAGE_TRIS : (ai + 1) * PAGE_TRIS, :],
-                    axis=0,
-                    keepdims=True,
+                _unflatten_row(
+                    jnp.sum(
+                        s_onehot * g_win[ai * PAGE_TRIS : (ai + 1) * PAGE_TRIS, :],
+                        axis=0,
+                        keepdims=True,
+                    ),
+                    gstep,
                 )
                 for ai in range(n_res)
             ]
@@ -1373,7 +1422,6 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     """Any-hit per-lane gather traversal for shadow rays (kernel path)."""
     paged: PagedBvh = pack.paged
     t_min = _F(t_min)
-    inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
     sent = jnp.int32(paged.n_pages)
     w_n = paged.mask_words
 
@@ -1381,30 +1429,43 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     p_pad = g_limbs_all[0].shape[1]
     g_limbs = tuple(l[: (_A_TEST + 1) * PAGE_TRIS, :] for l in g_limbs_all)
 
-    big_t = o.x * _F(0.0) + _F(_BIG_T)  # desplat (Mosaic layout bug)
+    # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
+    # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape
+    # casts are unsupported in Mosaic)
+    rows = o.x.shape[0]
+    gstep = GROUP_ROWS if rows % GROUP_ROWS == 0 else 1
+    gl = gstep * o.x.shape[1]
+    grows = rows // gstep
+    gf = lambda a: a.reshape(grows, gl)  # noqa: E731
+    of = V3(gf(o.x), gf(o.y), gf(o.z))
+    df = V3(gf(d.x), gf(d.y), gf(d.z))
+    inv = V3(_F(1.0) / df.x, _F(1.0) / df.y, _F(1.0) / df.z)
+    t_max_f = gf(t_max) if getattr(t_max, "ndim", 0) == 2 else t_max
+    blocked_f = gf(blocked.astype(jnp.int32))
+
+    big_t = of.x * _F(0.0) + _F(_BIG_T)  # desplat (Mosaic layout bug)
     # bucketed near-to-far popping: a shadow ray usually blocks on the
     # page nearest its origin, so draining near buckets first lets most
     # lanes drop out after one round
     bwords, _splits = _page_prepass_bucketed(
-        o, d, inv, paged, t_min, big_t, t_max=t_max, skip=blocked
+        of, df, inv, paged, t_min, big_t, t_max=t_max_f, skip=(blocked_f != 0)
     )
     key0 = lax.bitcast_convert_type(big_t, jnp.int32) | jnp.int32(_KEY_SLOT_MASK)
     ax = paged.sort_axis
-    d_ax = (d.x, d.y, d.z)[ax]
+    d_ax = (df.x, df.y, df.z)[ax]
     nb = len(bwords)
     nw = nb * w_n
 
-    rows = o.x.shape[0]
     blk_rows = []
-    for s in range(rows):
+    for s in range(grows):
         sl = lambda a: a[s : s + 1, :]  # noqa: E731
-        o_r = V3(sl(o.x), sl(o.y), sl(o.z))
-        d_r = V3(sl(d.x), sl(d.y), sl(d.z))
-        t_max_r = _lane_arg(t_max, s)
+        o_r = V3(sl(of.x), sl(of.y), sl(of.z))
+        d_r = V3(sl(df.x), sl(df.y), sl(df.z))
+        t_max_r = _lane_arg(t_max_f, s)
         key0_r = sl(key0)
         fwd_r = sl(d_ax) >= 0
         flat0 = [sl(w) for wb in bwords for w in wb]
-        blk0 = sl(blocked).astype(jnp.int32)
+        blk0 = sl(blocked_f)
         carry0 = tuple(flat0) + (blk0,)
 
         def cond(carry):
@@ -1426,5 +1487,5 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
             return tuple(flat) + (blk,)
 
         out = lax.while_loop(cond, body, carry0)
-        blk_rows.append(out[nw])
+        blk_rows.append(_unflatten_row(out[nw], gstep))
     return jnp.concatenate(blk_rows, axis=0) != 0
