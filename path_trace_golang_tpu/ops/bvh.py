@@ -496,7 +496,13 @@ def build_paged_bvh(
 # ``dot(table, onehot(pages))`` then fetches each lane's OWN page as a
 # (PAGE_TRIS, LANE) attribute grid — an MXU gather.
 
-_G_TEST_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 15, 13)  # sweep set
+# Sweep-test attribute set.  Col 15 (valid) is NOT gathered: a slot is
+# invalid iff its tile row is all-zero (build_paged_bvh only skips
+# degenerate triangles, leaving the row zeroed), so n = 0 and the
+# |denom| > 1e-12 guard in _mt_key already rejects it — the gather-side
+# accessor substitutes a constant 1.0 and stays bit-identical to the
+# dense path, which reads the real column.
+_G_TEST_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
 _A_TEST = len(_G_TEST_COLS)
 
 
@@ -512,25 +518,27 @@ def build_gather_table(tiles: np.ndarray, paged: "PagedBvh") -> np.ndarray:
     """(P, PAGE_TRIS, N_PAGE_ATTRS) page tiles -> (A*PAGE_TRIS, P_pad).
 
     Layout: the sweep-test attributes first (the per-round gather
-    slice), then block ``_A_TEST`` = the page's bbox center along
-    ``paged.sort_axis`` replicated over slots (the early-stop input),
-    then the winner-resolve-only attributes — gathered once per row
-    after the walk, not every round."""
+    slice), then the winner-resolve-only attributes — gathered once per
+    row after the walk, not every round.  The page's early-stop axis
+    center is NOT a table block: it is one static scalar per page, so
+    the walk selects it from compile-time immediates instead of paying
+    a 128-row gather block for a replicated value."""
     p, tris, _ = tiles.shape
     cols = _gather_cols(paged.any_smooth)
     p_pad = -(-p // 128) * 128
-    g = np.zeros(((len(cols) + 1) * tris, p_pad), np.float32)
-    for ai, c in enumerate(cols[:_A_TEST]):
+    g = np.zeros((len(cols) * tris, p_pad), np.float32)
+    for ai, c in enumerate(cols):
         g[ai * tris : (ai + 1) * tris, :p] = tiles[:, :, c].T
-    ax = paged.sort_axis
-    centers = np.array(
-        [(b[ax] + b[3 + ax]) * 0.5 for b in paged.page_bounds], np.float32
-    )
-    g[_A_TEST * tris : (_A_TEST + 1) * tris, :p] = centers[None, :]
-    for ai, c in enumerate(cols[_A_TEST:]):
-        blk = _A_TEST + 1 + ai
-        g[blk * tris : (blk + 1) * tris, :p] = tiles[:, :, c].T
     return g
+
+
+def _page_centers(paged: "PagedBvh") -> tuple:
+    """Static per-page sort-axis bbox centers, f32-rounded exactly as
+    the (removed) gather-table center block was."""
+    ax = paged.sort_axis
+    return tuple(
+        float(np.float32((b[ax] + b[3 + ax]) * 0.5)) for b in paged.page_bounds
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1190,9 +1198,7 @@ def _use_gather(pack) -> bool:
     return _is_ref(pack.page_gather)
 
 
-# gathered block index by page-tile column (see build_gather_table);
-# block _A_TEST is the page axis center (_G_CENTER), the early-stop input
-_G_CENTER = _A_TEST
+# gathered block index by page-tile column (see build_gather_table)
 _G_BLOCK = {c: i for i, c in enumerate(_G_TEST_COLS)}
 
 
@@ -1257,14 +1263,28 @@ def _clear_bit(words_r, p_l):
     return out
 
 
-def _gather_round(g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r):
+def _gather_round(
+    g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r, centers=None
+):
     """One gather round for one sublane row: returns the per-pair winner
-    key min-reduced to (1, LANE) plus the popped page's axis center."""
+    key min-reduced to (1, LANE) plus the popped page's axis center.
+
+    ``centers`` (static per-page floats) selects the early-stop center
+    by a compile-time-immediate chain over ``p_l`` — one select per
+    page on the VPU instead of a 128-row gather block on the MXU;
+    returns None in its place when not provided (the any-hit walk never
+    uses it).  The valid column (15) is substituted with a constant:
+    invalid slots are all-zero rows, already rejected by the |denom|
+    guard in _mt_key (see _G_TEST_COLS)."""
     iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
     onehot = iota_p == p_l
-    g = _gather_dot(g_limbs, onehot)  # ((A_TEST+1)*PAGE_TRIS, LANE)
+    g = _gather_dot(g_limbs, onehot)  # (A_TEST*PAGE_TRIS, LANE)
 
-    blk = lambda c: g[_G_BLOCK[c] * PAGE_TRIS : (_G_BLOCK[c] + 1) * PAGE_TRIS, :]  # noqa: E731
+    blk = lambda c: (  # noqa: E731
+        _F(1.0)
+        if c == 15
+        else g[_G_BLOCK[c] * PAGE_TRIS : (_G_BLOCK[c] + 1) * PAGE_TRIS, :]
+    )
     k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
     keys = _mt_key(
         blk,
@@ -1277,7 +1297,13 @@ def _gather_round(g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, exc
         k_iota,
         jnp.int32(_big_key()),
     )
-    c_ax = g[_G_CENTER * PAGE_TRIS : _G_CENTER * PAGE_TRIS + 1, :]
+    c_ax = None
+    if centers is not None:
+        # sentinel (p_l == n_pages) keeps the 0.0 init — identical to
+        # the zero-padded column the removed table block produced
+        c_ax = p_l.astype(jnp.float32) * _F(0.0)
+        for i, c in enumerate(centers):
+            c_ax = jnp.where(p_l == i, _F(c), c_ax)
     return jnp.min(keys, axis=0, keepdims=True), c_ax
 
 
@@ -1291,10 +1317,11 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
 
     g_limbs_all = _bf16_limbs(pack.page_gather[...])
     p_pad = g_limbs_all[0].shape[1]
-    g_limbs = tuple(l[: (_A_TEST + 1) * PAGE_TRIS, :] for l in g_limbs_all)
-    g_limbs_res = tuple(l[(_A_TEST + 1) * PAGE_TRIS :, :] for l in g_limbs_all)
+    g_limbs = tuple(l[: _A_TEST * PAGE_TRIS, :] for l in g_limbs_all)
+    g_limbs_res = tuple(l[_A_TEST * PAGE_TRIS :, :] for l in g_limbs_all)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
+    centers = _page_centers(paged)
 
     # GROUP_ROWS sublane rows share each gather round: the whole grid
     # flattens ONCE to (rows/G, G*128) — float/int reshapes only; bool
@@ -1363,7 +1390,8 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
             bk, bp, vis = carry[nw], carry[nw + 1], carry[nw + 2]
             p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r)
             page_key, c_ax = _gather_round(
-                g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r
+                g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r,
+                centers=centers,
             )
             new_key = jnp.minimum(bk, page_key)
             bp = jnp.where(new_key < bk, p_l, bp)
@@ -1427,7 +1455,7 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
 
     g_limbs_all = _bf16_limbs(pack.page_gather[...])
     p_pad = g_limbs_all[0].shape[1]
-    g_limbs = tuple(l[: (_A_TEST + 1) * PAGE_TRIS, :] for l in g_limbs_all)
+    g_limbs = tuple(l[: _A_TEST * PAGE_TRIS, :] for l in g_limbs_all)
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
     # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape

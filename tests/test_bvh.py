@@ -479,3 +479,87 @@ def test_smooth_vertex_normals_match_sphere(n_lat, n_lon, min_dot):
     smooth = mean_dot(build(True))
     assert smooth > min_dot, smooth
     assert smooth > flat + 0.005, (smooth, flat)
+
+
+@pytest.mark.parametrize("rows", [8, 2])  # 8: row-grouped (gstep=4); 2: gstep=1
+def test_gather_walk_bitidentical_to_dense(rows):
+    """The per-lane MXU gather traversal (Pallas kernel path) must be
+    BIT-identical to the dense paged sweep: the bf16-limb one-hot gather
+    reconstructs exact f32 attributes, so every winner key, t, normal
+    and material field matches to the bit (PERF.md "per-lane gather
+    walk").  Run here on plain CPU arrays by calling the gather
+    traversal directly (in-kernel it engages via _use_gather)."""
+    import os
+
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh
+
+    os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        sc = _random_tri_scene(600, seed=13)
+        pack = pack_scene(sc)
+    finally:
+        del os.environ["PATHTRACER_BVH_DYNAMIC"]
+    assert pack.paged is not None and pack.paged.n_pages >= 4
+
+    rng = np.random.default_rng(17)
+    n = rows * 128
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    shape = (rows, 128)
+    o = V3(*(jnp.asarray(o_np[:, k].reshape(shape)) for k in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, k].reshape(shape)) for k in range(3)))
+    t_max = jnp.asarray(
+        rng.uniform(2.0, 50.0, size=shape).astype(np.float32)
+    )
+    excl = jnp.asarray(
+        rng.integers(0, 600, size=shape).astype(np.int32)
+    )
+
+    fz = jnp.zeros(shape, jnp.float32)
+    iz = jnp.zeros(shape, jnp.int32)
+
+    def state0():
+        return dict(
+            best_t=fz + 1e20, best_m=iz - 1, best_type=iz, best_mat=iz,
+            best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz,
+            b_abss=fz, b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+            b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz),
+            nx=fz, ny=fz, nz=fz,
+        )
+
+    dense_fn = jax.jit(
+        lambda o, d, t_max, excl: bvh.traverse_triangles_paged(
+            o, d, pack, 1e-3, state0(), exclude_obj=excl, t_max=t_max
+        )[0]
+    )
+    gather_fn = jax.jit(
+        lambda o, d, t_max, excl: bvh._traverse_gather(
+            o, d, pack, 1e-3, state0(), excl, t_max, False
+        )[0]
+    )
+    st_d = dense_fn(o, d, t_max, excl)
+    st_g = gather_fn(o, d, t_max, excl)
+    assert bool(np.asarray(st_d["best_t"] < 1e19).any())  # some hits
+    for k in st_d:
+        a, b = st_d[k], st_g[k]
+        if isinstance(a, V3):
+            for ax in "xyz":
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, ax)), np.asarray(getattr(b, ax)), err_msg=k
+                )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=k)
+
+    # ---- any-hit (shadow) walk, with some lanes pre-blocked ----------
+    blocked0 = jnp.asarray((rng.random(shape) < 0.2))
+    occ_dense = jax.jit(
+        lambda o, d, b: bvh.occluded_triangles_paged(o, d, pack, 1e-3, 9.0, b)
+    )(o, d, blocked0)
+    occ_gather = jax.jit(
+        lambda o, d, b: bvh._occluded_gather(o, d, pack, 1e-3, 9.0, b)
+    )(o, d, blocked0)
+    assert bool(np.asarray(occ_dense).any()) and not bool(np.asarray(occ_dense).all())
+    np.testing.assert_array_equal(np.asarray(occ_dense), np.asarray(occ_gather))

@@ -137,7 +137,7 @@ def traversal_keys(variant, paged, tiles_ref, o, d):
         # per-lane gather loop (keys only), mirroring _traverse_gather:
         # bf16-limb one-hot matmul, direction-aware pop, exact early-stop
         g_limbs = tuple(
-            l[: (B._A_TEST + 1) * B.PAGE_TRIS, :] for l in B._bf16_limbs(B_gather[...])
+            l[: B._A_TEST * B.PAGE_TRIS, :] for l in B._bf16_limbs(B_gather[...])
         )
         p_pad = g_limbs[0].shape[1]
         ax = paged.sort_axis
@@ -171,7 +171,8 @@ def traversal_keys(variant, paged, tiles_ref, o, d):
                 bk = carry[w_n]
                 p_l, ws = B._pop_dir(ws, sent, fwd_r)
                 page_key, c_ax = B._gather_round(
-                    g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, None, None
+                    g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, None, None,
+                    centers=B._page_centers(paged),
                 )
                 nk = jnp.minimum(bk, page_key)
                 t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
