@@ -138,3 +138,84 @@ def test_fuzzed_scene_renders_finite_and_deterministic(case_seed):
     bright_sky = sc.sky is not None
     if has_emissive or bright_sky:
         assert img.mean() >= 0.0  # well-formed (blackness allowed for dim scenes)
+
+
+@pytest.mark.parametrize("case_seed", [101, 223])
+def test_fuzzed_gather_walk_bitidentical(case_seed):
+    """Property form of tests/test_bvh.py's gather-vs-dense invariant:
+    on random triangle soups of random size (spanning 1..several pages,
+    empty-slot tails, multiple materials) and random ray batches, the
+    per-lane MXU gather traversal must match the dense paged sweep BIT
+    for BIT — closest-hit state and any-hit booleans."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from path_trace_golang_tpu.ops import bvh
+    from path_trace_golang_tpu.ops.vec import V3
+
+    rng = np.random.RandomState(case_seed)
+    t = int(rng.randint(140, 900))
+    mats = [
+        S.Material(id=f"m{i}", type="lambert", albedo=S.Color(*rng.uniform(0.1, 1, 3)))
+        for i in range(3)
+    ]
+    v0 = rng.uniform(-5, 5, size=(t, 3))
+    e1 = rng.normal(size=(t, 3)) * rng.uniform(0.1, 1.5)
+    e2 = rng.normal(size=(t, 3)) * rng.uniform(0.1, 1.5)
+    objs = [
+        S.Object(
+            id=f"t{i}", type="triangle", material_id=f"m{i % 3}",
+            vertices=[S.Vec3(*v0[i]), S.Vec3(*(v0[i] + e1[i])), S.Vec3(*(v0[i] + e2[i]))],
+        )
+        for i in range(t)
+    ]
+    sc = S.Scene(
+        camera=S.Camera(position=S.Vec3(0, 1, 8), target=S.Vec3(0, 0, 0)),
+        materials=mats,
+        objects=objs,
+    )
+    os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        pack = pack_scene(sc)
+    finally:
+        del os.environ["PATHTRACER_BVH_DYNAMIC"]
+    assert pack.paged is not None
+
+    rows = int(rng.choice([4, 8]))
+    shape = (rows, 128)
+    n = rows * 128
+    o_np = rng.uniform(-7, 7, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(o_np[:, k].reshape(shape)) for k in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, k].reshape(shape)) for k in range(3)))
+
+    fz = jnp.zeros(shape, jnp.float32)
+    iz = jnp.zeros(shape, jnp.int32)
+    state = dict(
+        best_t=fz + 1e20, best_m=iz - 1, best_type=iz, best_mat=iz,
+        best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz,
+        b_abss=fz, b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+        b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz), nx=fz, ny=fz, nz=fz,
+    )
+    st_d = jax.jit(
+        lambda o, d: bvh.traverse_triangles_paged(o, d, pack, 1e-3, dict(state))[0]
+    )(o, d)
+    st_g = jax.jit(
+        lambda o, d: bvh._traverse_gather(o, d, pack, 1e-3, dict(state), None, None, False)[0]
+    )(o, d)
+    for k in st_d:
+        a, b = st_d[k], st_g[k]
+        parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
+        for pa, pb in parts:
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb), err_msg=k)
+
+    occ_d = jax.jit(
+        lambda o, d: bvh.occluded_triangles_paged(o, d, pack, 1e-3, 12.0, jnp.zeros(shape, bool))
+    )(o, d)
+    occ_g = jax.jit(
+        lambda o, d: bvh._occluded_gather(o, d, pack, 1e-3, 12.0, jnp.zeros(shape, bool))
+    )(o, d)
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_g))
