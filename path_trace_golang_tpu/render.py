@@ -197,8 +197,8 @@ def pass_body_grid(
         # trace state, so per-lane trace chains are identical whether
         # passes run one-at-a-time, in a window, or spp-sharded across
         # devices — sharding cannot change the image beyond fp scheduling.
-        for p in range(n_passes):
-            fs = jnp.asarray(frame_seed, jnp.uint32) + jnp.uint32(p)
+        def fog_pass(p, acc):
+            fs = jnp.asarray(frame_seed, jnp.uint32) + p.astype(jnp.uint32)
             rng0 = LaneRng(seed_lanes(px, py, fs ^ jnp.uint32(FOG_STREAM_XOR)))
             jx = rng0.next()
             jy = rng0.next()
@@ -206,7 +206,19 @@ def pass_body_grid(
             v0 = (fy + jy) * inv_h
             fog_o, fog_d = camera_rays(u0, v0, pack.cam, width, height, rng0, has_aperture, pack.lens_disk)
             fog_rad, _fog_state = fog_prepass_grid(fog_o, fog_d, rng0.state, pack)
-            col_pre = col_pre + fog_rad * _F(samples)
+            return acc + fog_rad * _F(samples)
+
+        if n_passes == 1:
+            col_pre = fog_pass(jnp.int32(0), col_pre)
+        else:
+            # loop, don't unroll: a window of 8 unrolled fog marches was
+            # ~26 s of client-side trace+lower alone at 1080p (plus the
+            # matching XLA compile blowup); the accumulation order is
+            # identical, so images are bit-equal to the unrolled form.
+            # The f32-mul zero init keeps the Mosaic carry layout
+            # concrete (see integrator.pass_regen_gpu's note).
+            zf = pxf * _F(0.0)
+            col_pre = lax.fori_loop(0, n_passes, fog_pass, V3(zf, zf, zf))
         if active is not None:
             col_pre = V3.where(active, col_pre, V3.zeros(shape))
 
