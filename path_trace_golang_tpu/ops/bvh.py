@@ -775,8 +775,17 @@ def _lane_arg(a, s):
 # sublane rows fused per gather round (see _traverse_gather).  8 rows
 # overflow the 16 MB scoped-VMEM budget inside the whole-pass kernel
 # (the (attrs*slots, G*128) gathered grid plus the bounce-loop state);
-# 4 already amortizes most of the per-round overhead.
-GROUP_ROWS = 4
+# 4 already amortizes most of the per-round overhead.  Env-overridable
+# for perf sweeps.
+GROUP_ROWS = int(os.environ.get("PATHTRACER_BVH_GROUP_ROWS", "4"))
+
+# page pops (independent gather matmuls) per while-loop iteration.  2
+# halves the serial trip count and lets the two gathers overlap in the
+# MXU pipeline at the cost of slightly weaker pruning (the first pop's
+# early-stop cannot cancel the second pop of the same iteration — only
+# future iterations); a page gathered past its stop bound can never win
+# (its slab entry exceeds the winner's t), so results are unchanged.
+ROUND_POPS = max(1, int(os.environ.get("PATHTRACER_BVH_ROUND_POPS", "1")))
 
 
 def _unflatten_row(x, gstep):
@@ -1388,28 +1397,43 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
         def body(carry):
             bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
             bk, bp, vis = carry[nw], carry[nw + 1], carry[nw + 2]
-            p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r)
-            page_key, c_ax = _gather_round(
-                g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r,
-                centers=centers,
-            )
-            new_key = jnp.minimum(bk, page_key)
-            bp = jnp.where(new_key < bk, p_l, bp)
+            # pop ROUND_POPS pages up front, then gather them with
+            # INDEPENDENT matmuls (stale bk as t_upper for all: a stale
+            # bound only fails to reject, and the min-merge below fixes
+            # the winner) so the MXU can pipeline them
+            pops = []
+            for _ in range(ROUND_POPS):
+                p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r)
+                pops.append((p_l, selb))
+            rounds = []
+            for p_l, selb in pops:
+                page_key, c_ax = _gather_round(
+                    g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r,
+                    centers=centers,
+                )
+                rounds.append((p_l, selb, page_key, c_ax))
+            new_key = bk
+            for p_l, _selb, page_key, _c_ax in rounds:
+                prev = new_key
+                new_key = jnp.minimum(prev, page_key)
+                bp = jnp.where(new_key < prev, p_l, bp)
             ut = _key_upper_t(new_key)
             # exact near-to-far early stop within the popped bucket:
             # every page remaining there (axis-sorted, direction-aware
             # pop) has slab entry >= (c_ax - o)/d - margin/|d|
-            t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
-            ax_stop = t_entry > ut
             # exact bucket kill: bucket b's pages all have entry t >=
             # splits[b-1] (by prepass construction)
             for b in range(nb):
-                kill = ax_stop & selb[b]
+                kill = None
+                for _p_l, selb, _pk, c_ax in rounds:
+                    t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
+                    k_i = (t_entry > ut) & selb[b]
+                    kill = k_i if kill is None else (kill | k_i)
                 if b >= 1:
                     kill = kill | (splits_r[b - 1] > ut)
                 bws[b] = [jnp.where(kill, 0, w) for w in bws[b]]
             flat = [w for wb in bws for w in wb]
-            return tuple(flat) + (new_key, bp, vis + 1)
+            return tuple(flat) + (new_key, bp, vis + ROUND_POPS)
 
         out = lax.while_loop(cond, body, carry0)
         bk_r, bp_r, visits = out[nw], out[nw + 1], out[nw + 2]
@@ -1505,11 +1529,12 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
         def body(carry):
             bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
             blk = carry[nw]
-            p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r)
-            page_key, _c_ax = _gather_round(
-                g_limbs, p_l, p_pad, o_r, d_r, t_min, key0_r, t_max_r, None
-            )
-            blk = blk | (page_key < key0_r).astype(jnp.int32)
+            for _ in range(ROUND_POPS):
+                p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r)
+                page_key, _c_ax = _gather_round(
+                    g_limbs, p_l, p_pad, o_r, d_r, t_min, key0_r, t_max_r, None
+                )
+                blk = blk | (page_key < key0_r).astype(jnp.int32)
             dead = blk != 0
             flat = [jnp.where(dead, 0, w) for wb in bws for w in wb]
             return tuple(flat) + (blk,)

@@ -563,3 +563,56 @@ def test_gather_walk_bitidentical_to_dense(rows):
     )(o, d, blocked0)
     assert bool(np.asarray(occ_dense).any()) and not bool(np.asarray(occ_dense).all())
     np.testing.assert_array_equal(np.asarray(occ_dense), np.asarray(occ_gather))
+
+
+def test_gather_walk_round_pops2_bitidentical(monkeypatch):
+    """ROUND_POPS=2 (two independent page gathers per loop iteration)
+    must not change results: a page gathered past its early-stop bound
+    can never win, so only the iteration schedule differs."""
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh
+
+    sc = _random_tri_scene(500, seed=29)
+    import os as _os
+
+    _os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        pack = pack_scene(sc)
+    finally:
+        del _os.environ["PATHTRACER_BVH_DYNAMIC"]
+
+    rng = np.random.default_rng(31)
+    shape = (4, 128)
+    n = 4 * 128
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(o_np[:, k].reshape(shape)) for k in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, k].reshape(shape)) for k in range(3)))
+    fz, iz = jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int32)
+    state = dict(
+        best_t=fz + 1e20, best_m=iz - 1, best_type=iz, best_mat=iz,
+        best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz,
+        b_abss=fz, b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+        b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz), nx=fz, ny=fz, nz=fz,
+    )
+
+    def run():
+        st = jax.jit(
+            lambda o, d: bvh._traverse_gather(o, d, pack, 1e-3, dict(state), None, None, False)[0]
+        )(o, d)
+        occ = jax.jit(
+            lambda o, d: bvh._occluded_gather(o, d, pack, 1e-3, 10.0, jnp.zeros(shape, bool))
+        )(o, d)
+        return st, occ
+
+    st1, occ1 = run()
+    monkeypatch.setattr(bvh, "ROUND_POPS", 2)
+    st2, occ2 = run()
+    for k in st1:
+        a, b = st1[k], st2[k]
+        parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
+        for pa, pb in parts:
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
