@@ -22,6 +22,7 @@ and ``tint = white`` when unset, ``emit *= power``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -450,10 +451,14 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
         obj_mats=tuple(int(m) for m in obj[:o_count, 1]) if o_count else (),
         light_objs=tuple(int(i) for i in light_list),
         mat_types=tuple(int(t) for t in mat[:m_count, 0]) if m_count else (),
+        # per-column uniform-material constants (winner-chain select
+        # pruning); PATHTRACER_NO_MAT_UNIFORM_PRUNE=1 disables for A/B
         mat_uniform=tuple(
             float(mat[0, c]) if bool(np.all(mat[:, c] == mat[0, c])) else None
             for c in range(MAT_STRIDE)
-        ),
+        )
+        if os.environ.get("PATHTRACER_NO_MAT_UNIFORM_PRUNE", "") not in ("1", "true", "on")
+        else (None,) * MAT_STRIDE,
         tri=jax.numpy.asarray(tri_rows),
         bvh_bounds=jax.numpy.asarray(bvh_bounds),
         n_triangles=t_count,
