@@ -1,4 +1,5 @@
 from .io import dumps, load, loads, save
+from .obj import load_obj
 from .model import (
     MATERIAL_TYPES,
     OBJECT_TYPES,
@@ -29,4 +30,5 @@ __all__ = [
     "save",
     "loads",
     "dumps",
+    "load_obj",
 ]

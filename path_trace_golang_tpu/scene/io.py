@@ -27,9 +27,21 @@ def dumps(sc: Scene) -> str:
 
 
 def load(path: Union[str, os.PathLike]) -> Scene:
-    """Load a scene from a JSON file (io.go:10-22)."""
+    """Load a scene from a JSON file (io.go:10-22).
+
+    Mesh objects referencing an OBJ file (``"mesh": {"obj": "m.obj"}``,
+    framework extension) are expanded here, relative to the scene file's
+    directory — the in-memory Scene always carries concrete
+    vertices/faces, so save() round-trips the expanded mesh."""
     with open(path, "r", encoding="utf-8") as f:
-        return loads(f.read())
+        sc = loads(f.read())
+    base = os.path.dirname(os.path.abspath(os.fspath(path)))
+    for o in sc.objects:
+        if o.mesh is not None and "obj" in o.mesh:
+            from .obj import resolve_mesh_dict
+
+            o.mesh = resolve_mesh_dict(o.mesh, base)
+    return sc
 
 
 def save(path: Union[str, os.PathLike], sc: Scene) -> None:

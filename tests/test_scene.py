@@ -158,3 +158,54 @@ def test_scene_copy_is_deep():
     sc2.materials[0].albedo.r = 0.123
     assert sc.camera.position.x != 99.0
     assert sc.materials[0].albedo.r != 0.123
+
+
+def test_obj_mesh_import(tmp_path):
+    """OBJ importer (framework extension): v/f subset, slash forms,
+    negative indices, quad fan-triangulation; scene JSONs expand
+    {"obj": path} relative to the scene file at load time."""
+    obj_text = """
+# a unit quad split by the loader, mixed index forms
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1/1/1 2/2/2 3/3/3 4/4/4
+f -4 -3 -2
+"""
+    (tmp_path / "quad.obj").write_text(obj_text)
+    from path_trace_golang_tpu.scene import load_obj
+
+    verts, faces = load_obj(tmp_path / "quad.obj")
+    assert len(verts) == 4
+    # quad fans to 2 triangles + the explicit negative-index one
+    assert faces == [[0, 1, 2], [0, 2, 3], [0, 1, 2]]
+
+    scene_json = {
+        "camera": {"position": {"x": 0, "y": 0, "z": 3}, "target": {}},
+        "materials": [{"id": "m", "type": "lambert"}],
+        "objects": [
+            {
+                "id": "q",
+                "type": "mesh",
+                "material_id": "m",
+                "mesh": {"obj": "quad.obj", "smooth": True},
+            }
+        ],
+    }
+    import json as _json
+
+    (tmp_path / "sc.json").write_text(_json.dumps(scene_json))
+    sc = S.load(tmp_path / "sc.json")
+    m = sc.objects[0].mesh
+    assert "obj" not in m and len(m["vertices"]) == 4 and len(m["faces"]) == 3
+    assert m["smooth"] is True
+    # packs into real triangles
+    from path_trace_golang_tpu.soa import pack_scene
+
+    pack = pack_scene(sc, 8, 8)
+    assert pack.n_triangles == 3
+    # save round-trips the EXPANDED mesh
+    S.save(tmp_path / "out.json", sc)
+    sc2 = S.load(tmp_path / "out.json")
+    assert sc2.objects[0].mesh["vertices"] == m["vertices"]
