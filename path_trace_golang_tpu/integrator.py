@@ -377,7 +377,13 @@ def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
         segments = segments + jnp.sum(alive_i)
         rng = LaneRng(st)
 
-        hit = intersect_world(orig, dirv, pack, _F(0.001), exclude_obj=glass_obj)
+        # without dielectrics glass_obj is constant -1: skip the exclusion
+        # entirely (statically drops the obj compare per object and one
+        # gathered attribute block per BVH round)
+        hit = intersect_world(
+            orig, dirv, pack, _F(0.001),
+            exclude_obj=glass_obj if cfg.has_dielectric else None,
+        )
 
         # miss -> sky (+ legacy fog), terminate (gpu.go:1389-1396)
         unit_d = dirv.normalize()
@@ -595,7 +601,13 @@ def pass_regen_gpu(
 
         # ---- one bounce (identical to gpu_phase's body, per-lane depth)
         segments = segments + jnp.sum(alive.astype(jnp.int32))
-        hit = intersect_world(orig, dirv, pack, _F(0.001), exclude_obj=glass_obj)
+        # without dielectrics glass_obj is constant -1: skip the exclusion
+        # (statically drops the obj compare per object and one gathered
+        # attribute block per BVH round) — same gate as gpu_phase
+        hit = intersect_world(
+            orig, dirv, pack, _F(0.001),
+            exclude_obj=glass_obj if cfg.has_dielectric else None,
+        )
 
         unit_d = dirv.normalize()
         bg = background_color(unit_d, pack.sky)

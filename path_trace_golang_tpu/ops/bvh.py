@@ -772,12 +772,16 @@ def _lane_arg(a, s):
     return a[s : s + 1, :]
 
 
-# sublane rows fused per gather round (see _traverse_gather).  8 rows
-# overflow the 16 MB scoped-VMEM budget inside the whole-pass kernel
-# (the (attrs*slots, G*128) gathered grid plus the bounce-loop state);
-# 4 already amortizes most of the per-round overhead.  Env-overridable
-# for perf sweeps.
-GROUP_ROWS = int(os.environ.get("PATHTRACER_BVH_GROUP_ROWS", "4"))
+# sublane rows fused per gather round (see _traverse_gather).  Default 1:
+# the round-4 TPU sweep (tools/perf/gather_sweep.json) showed the
+# row-grouped variant MISCOMPILES on real TPU — G=4 renders the 10k-tri
+# bench image wrong (mean 167 vs 254) at 0.1 Mrays/s while G=1 is correct
+# at 3.1, and G>=8 fails to compile (VMEM) — even though the grouped path
+# is bit-identical to the dense sweep under XLA:CPU (tests/test_fuzz.py).
+# The (rows, 128) -> (rows/G, G*128) in-kernel reshape is the suspect
+# Mosaic-level relayout.  The grouped code stays env-gated for diagnosis:
+# PATHTRACER_BVH_GROUP_ROWS=4.
+GROUP_ROWS = int(os.environ.get("PATHTRACER_BVH_GROUP_ROWS", "1"))
 
 # page pops (independent gather matmuls) per while-loop iteration.  2
 # halves the serial trip count and lets the two gathers overlap in the
@@ -1326,7 +1330,11 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
 
     g_limbs_all = _bf16_limbs(pack.page_gather[...])
     p_pad = g_limbs_all[0].shape[1]
-    g_limbs = tuple(l[: _A_TEST * PAGE_TRIS, :] for l in g_limbs_all)
+    # the obj column (13) is the LAST test block and is only read by the
+    # exclude-object compare: without an exclusion the per-round gather
+    # statically drops it (13 -> 12 blocks of MXU work per round)
+    a_test = _A_TEST if exclude_obj is not None else _A_TEST - 1
+    g_limbs = tuple(l[: a_test * PAGE_TRIS, :] for l in g_limbs_all)
     g_limbs_res = tuple(l[_A_TEST * PAGE_TRIS :, :] for l in g_limbs_all)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
@@ -1479,7 +1487,8 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
 
     g_limbs_all = _bf16_limbs(pack.page_gather[...])
     p_pad = g_limbs_all[0].shape[1]
-    g_limbs = tuple(l[: _A_TEST * PAGE_TRIS, :] for l in g_limbs_all)
+    # shadow rays never exclude an object: drop the obj test block
+    g_limbs = tuple(l[: (_A_TEST - 1) * PAGE_TRIS, :] for l in g_limbs_all)
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
     # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape

@@ -216,6 +216,27 @@ def intersect_world(
         )
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
+            if lite and not pack.tri_any_emissive:
+                # A lite consumer (the rough-metal specular-NEE ray,
+                # gpu.go:1474-1496) only acts on EMISSIVE winners.  With
+                # no emissive triangles the mesh can only OCCLUDE the
+                # object sweep's winner, so an any-hit walk bounded by
+                # that winner's t replaces the full closest-hit walk
+                # (no winner resolve, early exit on first hit).  Equal
+                # to the full walk for every consumed field — a blocked
+                # lane's mtyp/emit zero out exactly the lanes the full
+                # walk would have handed a non-emissive mesh winner —
+                # except exact f32 t-ties, which resolve to the mesh
+                # here (both outcomes are non-emissive unless the tie is
+                # mesh-vs-light, a measure-zero event).
+                blocked = bvh_mod.occluded_triangles_paged(
+                    o, d, pack, t_min, state["best_t"],
+                    jnp.zeros(shape, dtype=bool),
+                )
+                state["best_mtyp"] = jnp.where(blocked, 0, state["best_mtyp"])
+                zero3 = V3(fz, fz, fz)
+                state["b_emit"] = V3.where(blocked, zero3, state["b_emit"])
+                return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
             state, _visits = bvh_mod.traverse_triangles_paged(
                 o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
             )

@@ -50,8 +50,16 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
 
     ``active`` padding masks ride into the kernel as one extra lane
     input (the integrator's trace_fn consumes them directly), so padded
-    grids — the public ``trace()`` row-vector API — stay eligible."""
-    if len(shape) != 2 or shape[1] != LANE:
+    grids — the public ``trace()`` row-vector API — stay eligible.
+
+    Lane rows may be WIDER than one native 128-lane vreg row (up to
+    4x128): the render driver reshapes mesh-scene grids to (rows/G,
+    G*128) at the kernel boundary so the per-lane BVH gather walk
+    amortizes its per-round pop/loop overhead over G*128 lanes — the
+    row-grouping win without any in-kernel reshape (the in-kernel
+    (rows,128)->(rows/G,G*128) shape cast miscompiles under Mosaic;
+    PERF.md round 4)."""
+    if len(shape) != 2 or shape[1] % LANE or not LANE <= shape[1] <= 4 * LANE:
         return False
     br = _block_rows(shape, getattr(cfg, "max_depth", 12))
     if shape[0] % br != 0:
@@ -80,8 +88,13 @@ def _block_rows(shape, max_depth: int = 12, regen: bool = False) -> int:
     # them.  With regeneration (integrator.pass_regen_gpu) block
     # iterations track the SUM of each lane's path lengths, which
     # concentrates — full-size blocks stay optimal at any depth.
+    # Wide lane rows (shape[1] = G*128, mesh-gather scenes) keep the
+    # LANE COUNT per block constant: fewer, wider sublane rows.
+    wfac = max(shape[1] // LANE, 1)
+    base = BLOCK_ROWS if (regen or max_depth <= 24) else 8
+    base = max(base // wfac, 1)
     r = shape[0]
-    br = min(BLOCK_ROWS if (regen or max_depth <= 24) else 8, r)
+    br = min(base, r)
     while r % br:
         br //= 2
     return max(br, 1)
@@ -155,8 +168,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg, active=No
     # tiny: <= STATIC_TRI_MAX rows, scalar-fetched); the paged walk's
     # lane-width tables are vector-gathered and always live in VMEM.
     table = smem if pack.n_triangles <= SMEM_TRI_MAX else vmem
-    lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_w = shape[1]
+    lane_in = pl.BlockSpec((br, lane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((br, lane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out_shape = (
         jax.ShapeDtypeStruct(shape, jnp.float32),
@@ -317,8 +331,9 @@ def render_pass_pallas(
     # tiny: <= STATIC_TRI_MAX rows, scalar-fetched); the paged walk's
     # lane-width tables are vector-gathered and always live in VMEM.
     table = smem if pack.n_triangles <= SMEM_TRI_MAX else vmem
-    lane_in = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    lane_out = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_w = shape[1]
+    lane_in = pl.BlockSpec((br, lane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lane_out = pl.BlockSpec((br, lane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out_shape = (
         jax.ShapeDtypeStruct(shape, jnp.float32),

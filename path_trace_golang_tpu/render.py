@@ -312,12 +312,41 @@ def trace_pass_lanes(
         # (Mosaic block-shape rule, ops/pallas_trace.pallas_supported)
         rows = -(-rows // 8) * 8
     n_pad = rows * LANE
+
+    # Mesh scenes on the in-kernel gather walk run WIDE lane rows
+    # (rows/G, G*128): each per-row gather round then serves G*128 lanes,
+    # amortizing the walk's pop/early-stop/while overhead G-fold — the
+    # row-grouping win with no in-kernel reshape (which miscompiles under
+    # Mosaic, PERF.md round 4).  Flat lane order is preserved, so the
+    # physics is untouched; only the vreg layout changes.
+    lane_w = LANE
+    from .ops import bvh as bvh_mod
+
+    # Default 1 (off): measured a 13% LOSS on the 10k-tri bench (2.7 vs
+    # 3.1 Mrays/s same-session) — per-round gather/test work scales with
+    # width while only the pop/loop overhead amortizes, and rounds per
+    # group = max wanted over G*128 lanes > the per-128 max.  Kept
+    # env-gated: it IS correct (unlike the in-kernel reshape) and may pay
+    # at other page counts.
+    wide = int(os.environ.get("PATHTRACER_WIDE_LANES", "1") or 0)
+    if (
+        wide > 1
+        and pack.n_triangles
+        and bvh_mod.use_dynamic_walk(pack.n_triangles)
+        and rows % wide == 0
+        and (rows // wide) % 8 == 0
+        and os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
+        and pallas_trace.pallas_supported((rows // wide, wide * LANE), pack, tcfg, None)
+    ):
+        lane_w = wide * LANE
+        rows //= wide
+
     if n_pad != n:
         idx = jnp.pad(idx, (0, n_pad - n))
-        active = (jnp.arange(n_pad) < n).reshape(rows, LANE)
+        active = (jnp.arange(n_pad) < n).reshape(rows, lane_w)
     else:
         active = None
-    grid_idx = idx.reshape(rows, LANE)
+    grid_idx = idx.reshape(rows, lane_w)
     px = grid_idx % width
     py = grid_idx // width
 
@@ -334,7 +363,7 @@ def trace_pass_lanes(
 
     if (
         os.environ.get("PATHTRACER_NO_PALLAS", "") not in ("1", "true", "on")
-        and pallas_trace.pallas_supported((rows, LANE), pack, tcfg, active)
+        and pallas_trace.pallas_supported((rows, lane_w), pack, tcfg, active)
     ):
         col, segs = pallas_trace.render_pass_pallas(
             pack, frame_seed, px, py, active=active, **kwargs

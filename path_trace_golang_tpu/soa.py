@@ -138,6 +138,19 @@ class ScenePack:
 
     # ---- unpacked views used by the kernels (cheap in-jit slices) ----
     @property
+    def tri_any_emissive(self) -> bool:
+        """Whether any mesh triangle carries an emissive material (static).
+
+        When False, a ``lite`` mesh query (the rough-metal specular-NEE
+        ray, gpu.go:1474-1496) can never find an emissive winner among
+        triangles — the mesh only matters as an OCCLUDER of the object
+        sweep's winner, so intersect_world downgrades the closest-hit
+        walk to the far cheaper any-hit walk (ops/geometry.py)."""
+        return any(
+            self.mat_types[mi] == MAT_EMISSIVE for mi in set(self.tri_mats)
+        )
+
+    @property
     def obj_type(self):
         return self.obj[:, 0].astype(np.int32)
 
