@@ -75,6 +75,10 @@ class TraceConfig:
     has_dielectric: bool = True
     rr_threshold: int = 3  # gpu.go:1649 / renderer.go:375
     regen: bool = True  # merged sample+bounce loop (pass_regen_gpu)
+    # Dead/masked lanes mark zero pages in the dynamic BVH walk (rounds
+    # per row are max-driven).  Physics-neutral; part of the jit key so
+    # PATHTRACER_NO_WALK_SKIP=1 A/Bs recompile.
+    walk_skip: bool = True
 
 
 def trace_config_for_scene(
@@ -122,6 +126,8 @@ def trace_config_for_scene(
         has_rough_metal=has_rough_metal,
         has_dielectric=has_dielectric,
         regen=regen,
+        walk_skip=os.environ.get("PATHTRACER_NO_WALK_SKIP", "")
+        not in ("1", "true", "on"),
     )
 
 
@@ -162,15 +168,22 @@ def _fog_prepass(orig: V3, dirv: V3, state, pack: ScenePack):
     return rad, state
 
 
-def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, pack: ScenePack, cfg: TraceConfig):
+def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, pack: ScenePack, cfg: TraceConfig, alive=None):
     """One GPU-contract surface interaction for all lanes (gpu.go:1398-1646).
 
     Material constants come from the hit record (select-chain, gather-free).
     Returns (new_dir, attenuation, radiance, scattered_ok, enter_glass,
     exit_glass, travel, absorption, abs_scale, tint).
+
+    ``alive``: bool lane grid from the bounce loop; dead lanes' outputs
+    are discarded by the caller, so their secondary rays (NEE shadow,
+    specular NEE) mark zero pages in the dynamic BVH walk
+    (cfg.walk_skip) — work pruning only, identical radiance.
     """
     shape = dirv.x.shape
     zero3 = V3.zeros(shape)
+    if not cfg.walk_skip:
+        alive = None
 
     typ = hit.mtyp
     n = hit.normal
@@ -189,7 +202,17 @@ def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, p
     # ---- Lambert: cosine bounce + NEE (gpu.go:1419-1425) ----
     lambert_dir = sampling.cosine_direction(n, rng.next(), rng.next())
     if cfg.enable_nee and pack.n_lights > 0:
-        direct = lights_ops.estimate_direct_light(p, n, hit.albedo, pack, rng)
+        # only lambert and rough-metal lanes consume `direct`; everyone
+        # else skips the shadow walk's mesh pages (walk_skip)
+        nee_skip = None
+        if alive is not None:
+            uses_direct = is_lambert
+            if cfg.has_rough_metal:
+                uses_direct = uses_direct | is_metal
+            nee_skip = ~(alive & hit.hit & uses_direct)
+        direct = lights_ops.estimate_direct_light(
+            p, n, hit.albedo, pack, rng, skip=nee_skip
+        )
     else:
         direct = zero3
     radiance = radiance + V3.where(is_lambert, throughput * direct, zero3)
@@ -229,7 +252,14 @@ def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, p
     # emissive hits (gpu.go:1474-1496)
     if cfg.has_rough_metal and cfg.enable_nee:
         refl_orig = p + n * _F(0.001)
-        rhit = intersect_world(refl_orig, mirror_dir, pack, _F(0.001), lite=True)
+        # only live rough-metal lanes with an above-horizon reflection
+        # consume this query — everyone else skips the mesh walk
+        spec_skip = None
+        if alive is not None:
+            spec_skip = ~(alive & is_rough_metal & ~metal_dead)
+        rhit = intersect_world(
+            refl_orig, mirror_dir, pack, _F(0.001), lite=True, skip=spec_skip
+        )
         dist_sq = jnp.maximum(rhit.t * rhit.t, _F(1e-20))
         cos_light = jnp.maximum(_F(0), -(rhit.normal.dot(mirror_dir)))
         direct_reflect = rhit.emit * (cos_light / dist_sq)
@@ -379,10 +409,12 @@ def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
 
         # without dielectrics glass_obj is constant -1: skip the exclusion
         # entirely (statically drops the obj compare per object and one
-        # gathered attribute block per BVH round)
+        # gathered attribute block per BVH round); dead lanes mark zero
+        # BVH pages (walk_skip)
         hit = intersect_world(
             orig, dirv, pack, _F(0.001),
             exclude_obj=glass_obj if cfg.has_dielectric else None,
+            skip=~alive if cfg.walk_skip else None,
         )
 
         # miss -> sky (+ legacy fog), terminate (gpu.go:1389-1396)
@@ -407,7 +439,7 @@ def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
             absorption,
             abs_scale,
             tint,
-        ) = _shade_gpu(hit, dirv, live_throughput, radiance, rng, pack, cfg)
+        ) = _shade_gpu(hit, dirv, live_throughput, radiance, rng, pack, cfg, alive=alive)
 
         # glass-state bookkeeping (gpu.go:1545, 1615, 1598, 1638)
         if cfg.has_dielectric:
@@ -607,6 +639,7 @@ def pass_regen_gpu(
         hit = intersect_world(
             orig, dirv, pack, _F(0.001),
             exclude_obj=glass_obj if cfg.has_dielectric else None,
+            skip=~alive if cfg.walk_skip else None,
         )
 
         unit_d = dirv.normalize()
@@ -629,7 +662,7 @@ def pass_regen_gpu(
             absorption,
             abs_scale,
             tint,
-        ) = _shade_gpu(hit, dirv, live_throughput, col, rng, pack, cfg)
+        ) = _shade_gpu(hit, dirv, live_throughput, col, rng, pack, cfg, alive=alive)
 
         if cfg.has_dielectric:
             eff_abs = absorption * abs_scale

@@ -878,18 +878,23 @@ def _sweep_page_keys(tile, o, d, t_min, best_key, t_max, exclude_obj, in_kernel)
 
 
 def traverse_triangles_paged(
-    o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None, lite: bool = False
+    o: V3, d: V3, pack, t_min, state, exclude_obj=None, t_max=None,
+    lite: bool = False, skip=None,
 ):
     """Closest-hit dense paged traversal (see the section banner).
 
     Same contract as the prior designs: merges the mesh winner into the
-    intersect_world winner-chain dict; returns (state, pages_visited)."""
+    intersect_world winner-chain dict; returns (state, pages_visited).
+    ``skip`` lanes (bool grid, caller discards their result) mark zero
+    pages — rounds per row are max-driven, so masked/dead lanes stop
+    inflating the walk."""
     paged: PagedBvh = pack.paged
     if paged is None or paged.n_pages == 0:
         return state, jnp.zeros((), jnp.int32)
     if _use_gather(pack):
         return _traverse_gather(
-            o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
+            o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max,
+            lite=lite, skip=skip,
         )
     t_min = _F(t_min)
     inv = V3(_F(1.0) / d.x, _F(1.0) / d.y, _F(1.0) / d.z)
@@ -899,7 +904,9 @@ def traverse_triangles_paged(
     in_kernel = _is_ref(pack.page_tiles)
     tiles = pack.page_tiles
 
-    words = _page_prepass(o, d, inv, paged, t_min, state["best_t"], t_max=t_max)
+    words = _page_prepass(
+        o, d, inv, paged, t_min, state["best_t"], t_max=t_max, skip=skip
+    )
 
     # winner carry: key = f32 bits of best t with slot bits filled (so a
     # triangle wins only by beating the object sweep's t), page = -1
@@ -1320,7 +1327,9 @@ def _gather_round(
     return jnp.min(keys, axis=0, keepdims=True), c_ax
 
 
-def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite):
+def _traverse_gather(
+    o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite, skip=None
+):
     """Closest-hit per-lane gather traversal (kernel path)."""
     paged: PagedBvh = pack.paged
     t_min = _F(t_min)
@@ -1367,9 +1376,11 @@ def _traverse_gather(o: V3, d: V3, pack, t_min, state, exclude_obj, t_max, lite)
     )
     best_t_f = gf(state["best_t"])
     o_ax, d_ax = (of.x, of.y, of.z)[ax], (df.x, df.y, df.z)[ax]
+    # bool grids cannot cross a Mosaic reshape: flatten skip as i32
+    skip_f = None if skip is None else (gf(skip.astype(jnp.int32)) != 0)
 
     bwords, splits = _page_prepass_bucketed(
-        of, df, inv, paged, t_min, best_t_f, t_max=t_max_f
+        of, df, inv, paged, t_min, best_t_f, t_max=t_max_f, skip=skip_f
     )
     best_key0 = (
         lax.bitcast_convert_type(best_t_f + of.x * _F(0.0), jnp.int32)

@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from ..soa import OBJ_PLANE, OBJ_SPHERE, ScenePack
+from ..soa import MAT_EMISSIVE, OBJ_PLANE, OBJ_SPHERE, ScenePack
 from .vec import V3
 
 __all__ = [
@@ -128,6 +128,7 @@ def intersect_world(
     t_max=None,
     exclude_obj: Optional[jnp.ndarray] = None,
     lite: bool = False,
+    skip: Optional[jnp.ndarray] = None,
 ) -> Hit:
     """Closest hit over all objects (shader hitWorld / bounce-loop scan).
 
@@ -136,6 +137,12 @@ def intersect_world(
     ``lite=True`` skips the winner select-chains not needed by secondary
     queries (only hit/t/normal/mtyp/emit are tracked) — used by the
     rough-metal specular-NEE ray (gpu.go:1474-1496).
+    ``skip``: optional bool lane grid; True marks lanes whose result the
+    CALLER discards (dead/masked lanes).  Skipped lanes mark zero pages
+    in the dynamic BVH walk — rounds per 128-lane row are max-driven, so
+    pruning dead lanes directly shrinks the walk — and may come back
+    with an object-only hit record; callers must mask.  The cheap
+    unrolled object sweep still runs for every lane.
     """
     shape = o.x.shape
     t_min = _F(t_min)
@@ -216,7 +223,15 @@ def intersect_world(
         )
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
+            if lite and _os.environ.get("PATHTRACER_PROF_NO_MESH_LITE"):
+                return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
             if lite and not pack.tri_any_emissive:
+                # Lanes whose object-sweep winner is NOT emissive can
+                # skip the mesh walk entirely: their specular-NEE
+                # contribution is zero with or without a mesh occluder.
+                skip_l = state["best_mtyp"] != MAT_EMISSIVE
+                if skip is not None:
+                    skip_l = skip_l | skip
                 # A lite consumer (the rough-metal specular-NEE ray,
                 # gpu.go:1474-1496) only acts on EMISSIVE winners.  With
                 # no emissive triangles the mesh can only OCCLUDE the
@@ -230,15 +245,15 @@ def intersect_world(
                 # here (both outcomes are non-emissive unless the tie is
                 # mesh-vs-light, a measure-zero event).
                 blocked = bvh_mod.occluded_triangles_paged(
-                    o, d, pack, t_min, state["best_t"],
-                    jnp.zeros(shape, dtype=bool),
+                    o, d, pack, t_min, state["best_t"], skip_l
                 )
                 state["best_mtyp"] = jnp.where(blocked, 0, state["best_mtyp"])
                 zero3 = V3(fz, fz, fz)
                 state["b_emit"] = V3.where(blocked, zero3, state["b_emit"])
                 return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
             state, _visits = bvh_mod.traverse_triangles_paged(
-                o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max, lite=lite
+                o, d, pack, t_min, state, exclude_obj=exclude_obj, t_max=t_max,
+                lite=lite, skip=skip,
             )
             return _finish_hit(o, d, pack, state, lite, b_c=b_c, b_s=b_s)
 
@@ -355,8 +370,12 @@ def _finish_hit(o: V3, d: V3, pack: ScenePack, state, lite, b_c=None, b_s=None) 
     )
 
 
-def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
-    """Any-hit test for shadow rays (hitWorld with tMax = dist - 0.002)."""
+def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max, skip=None):
+    """Any-hit test for shadow rays (hitWorld with tMax = dist - 0.002).
+
+    ``skip``: bool lane grid of lanes whose result the caller discards
+    (shadow rays already invalid by the cosine/distance terms); they mark
+    no pages in the dynamic mesh walk and may return blocked=True."""
     blocked = jnp.zeros(o.x.shape, dtype=bool)
     for _m, _typ, _c, _s, t, ok in _object_candidates(o, d, pack, _F(t_min)):
         blocked = blocked | (ok & (t <= t_max))
@@ -367,7 +386,8 @@ def occluded(o: V3, d: V3, pack: ScenePack, t_min, t_max):
 
         if bvh_mod.use_dynamic_walk(pack.n_triangles):
             return bvh_mod.occluded_triangles_paged(
-                o, d, pack, _F(t_min), t_max, blocked
+                o, d, pack, _F(t_min), t_max,
+                blocked if skip is None else (blocked | skip),
             )
 
         state = dict(blocked=blocked)

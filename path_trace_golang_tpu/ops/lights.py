@@ -42,11 +42,18 @@ def luminance_clamp(contrib: V3, max_lum=500.0) -> V3:
     return contrib * scale
 
 
-def _direct_single_static(light_obj: int, p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng) -> V3:
+def _direct_single_static(
+    light_obj: int, p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng,
+    skip=None,
+) -> V3:
     """estimateDirectLightSingle (gpu.go:923-999) for one *static* light.
 
     All light constants are traced scalars — no gathers.  Returns zeros
-    for non-sphere lights, which the reference cannot area-sample."""
+    for non-sphere lights, which the reference cannot area-sample.
+    ``skip``: bool lane grid of lanes whose contribution the caller
+    zeroes anyway (dead lanes, out-of-window slots); combined with the
+    cosine/distance validity it lets the mesh any-hit walk mark zero
+    pages for lanes whose shadow ray cannot contribute."""
     shape = p.x.shape
     if pack.obj_types[light_obj] != OBJ_SPHERE:
         # draws still advance to keep the schedule fixed per slot
@@ -70,14 +77,19 @@ def _direct_single_static(light_obj: int, p: V3, n: V3, albedo: V3, pack: SceneP
     dist = jnp.sqrt(jnp.maximum(dist_sq, _F(1e-20)))
     wi = to_light * (_F(1.0) / dist)
 
-    # shadow ray: origin offset along the surface normal (gpu.go:949-956)
-    shadow_orig = p + n * _F(0.001)
-    blocked = geometry.occluded(shadow_orig, wi, pack, _F(0.001), dist - _F(0.002))
-    valid = valid & ~blocked
-
+    # cosine terms BEFORE the shadow walk: a lane failing them cannot
+    # contribute, so the mesh walk skips it (same AND either way)
     cos_surf = jnp.maximum(_F(0), n.dot(wi))
     cos_light = jnp.maximum(_F(0), -(light_n.dot(wi)))
     valid = valid & (cos_surf > _F(0)) & (cos_light > _F(0))
+    no_need = ~valid if skip is None else (~valid | skip)
+
+    # shadow ray: origin offset along the surface normal (gpu.go:949-956)
+    shadow_orig = p + n * _F(0.001)
+    blocked = geometry.occluded(
+        shadow_orig, wi, pack, _F(0.001), dist - _F(0.002), skip=no_need
+    )
+    valid = valid & ~blocked
 
     # f = albedo/pi (gpu.go:870-872); geometry term; pdf-area division with
     # the reference's 1e-6 clamps (gpu.go:979-984)
@@ -89,7 +101,9 @@ def _direct_single_static(light_obj: int, p: V3, n: V3, albedo: V3, pack: SceneP
     return V3.where(valid, contrib, zero)
 
 
-def estimate_direct_light(p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng) -> V3:
+def estimate_direct_light(
+    p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRng, skip=None
+) -> V3:
     """estimateDirectLight (gpu.go:1004-1070): NEE over all lights.
 
     Samples every light when there are <= 8 (static unroll), otherwise a
@@ -101,6 +115,10 @@ def estimate_direct_light(p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRn
     light constants (zero gathers, Pallas-eligible at any light count),
     and a lane keeps slot ``i`` iff ``(i - start) mod count < 8`` — the
     identical contiguous-window estimator, SPMD-style (PHYSICS.md D11).
+
+    ``skip``: bool lane grid of lanes whose result the caller discards
+    (dead/masked lanes) — shadow-walk work pruning only, no physics.
+    Out-of-window slots join it automatically in the >8-light case.
     """
     count = pack.n_lights
     if count == 0:
@@ -113,13 +131,16 @@ def estimate_direct_light(p: V3, n: V3, albedo: V3, pack: ScenePack, rng: LaneRn
         zero3 = V3.zeros(p.x.shape)
         for i in range(count):
             member = ((jnp.int32(i) - start) % count) < MAX_LIGHTS_TO_SAMPLE
-            contrib = _direct_single_static(pack.light_objs[i], p, n, albedo, pack, rng)
+            slot_skip = ~member if skip is None else (~member | skip)
+            contrib = _direct_single_static(
+                pack.light_objs[i], p, n, albedo, pack, rng, skip=slot_skip
+            )
             total = total + V3.where(member, contrib, zero3)
         total = total * _F(count / MAX_LIGHTS_TO_SAMPLE)
     else:
         for i in range(count):
             total = total + _direct_single_static(
-                pack.light_objs[i], p, n, albedo, pack, rng
+                pack.light_objs[i], p, n, albedo, pack, rng, skip=skip
             )
 
     return total * _F(1.0 / count)

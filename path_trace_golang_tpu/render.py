@@ -94,7 +94,15 @@ def max_chunk_lanes(sc: Scene) -> int:
             if len(verts) and len(faces):
                 n_tris += len(faces)
     if n_tris and bvh_mod.use_dynamic_walk(n_tris):
-        return 512 * 128
+        # The cap exists only to keep one dispatch under the tunnel RPC
+        # deadline; every dispatch also costs a host sync (round trip).
+        # Round 5 raised it 512 -> 2048 rows after the walk sped up ~5x
+        # (in-process A/B: 3.0 -> 5.0 Mrays/s on the 10k-tri bench; a
+        # full 2048-row depth-8 dispatch runs ~1.6 s, far under the
+        # deadline).  Env-tunable in rows; 0 = uncapped (also drops the
+        # per-dispatch sync).
+        rows = int(os.environ.get("PATHTRACER_DISPATCH_CAP_ROWS", "2048") or 0)
+        return rows * 128 if rows > 0 else (1 << 62)
     return 1 << 62
 
 

@@ -616,3 +616,64 @@ def test_gather_walk_round_pops2_bitidentical(monkeypatch):
         for pa, pb in parts:
             np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb), err_msg=k)
     np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+
+def test_walk_skip_matches_on_live_lanes():
+    """``skip`` lanes mark zero pages (work pruning for dead/masked
+    lanes); every NON-skipped lane's winner must be bit-identical to the
+    unskipped traversal, on both the dense and gather paths."""
+    import os
+
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh
+
+    os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
+    try:
+        sc = _random_tri_scene(500, seed=23)
+        pack = pack_scene(sc)
+    finally:
+        del os.environ["PATHTRACER_BVH_DYNAMIC"]
+    assert pack.paged is not None and pack.paged.n_pages >= 3
+
+    rows = 8
+    shape = (rows, 128)
+    rng = np.random.default_rng(29)
+    n = rows * 128
+    o_np = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(o_np[:, k].reshape(shape)) for k in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, k].reshape(shape)) for k in range(3)))
+    skip = jnp.asarray(rng.random(shape) < 0.4)
+    live = ~np.asarray(skip)
+
+    fz, iz = jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int32)
+
+    def state0():
+        return dict(
+            best_t=fz + 1e20, best_m=iz - 1, best_type=iz, best_mat=iz,
+            best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz,
+            b_abss=fz, b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+            b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz),
+            nx=fz, ny=fz, nz=fz,
+        )
+
+    for fn in (
+        lambda o, d, sk: bvh.traverse_triangles_paged(
+            o, d, pack, 1e-3, state0(), skip=sk
+        )[0],
+        lambda o, d, sk: bvh._traverse_gather(
+            o, d, pack, 1e-3, state0(), None, None, False, skip=sk
+        )[0],
+    ):
+        ref = jax.jit(lambda o, d: fn(o, d, None))(o, d)
+        got = jax.jit(lambda o, d, sk: fn(o, d, sk))(o, d, skip)
+        assert bool(np.asarray(ref["best_t"] < 1e19).any())
+        for k in ref:
+            a, b = ref[k], got[k]
+            parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
+            for pa, pb in parts:
+                np.testing.assert_array_equal(
+                    np.asarray(pa)[live], np.asarray(pb)[live], err_msg=k
+                )
