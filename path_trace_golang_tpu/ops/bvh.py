@@ -791,6 +791,16 @@ GROUP_ROWS = int(os.environ.get("PATHTRACER_BVH_GROUP_ROWS", "1"))
 # (its slab entry exceeds the winner's t), so results are unchanged.
 ROUND_POPS = max(1, int(os.environ.get("PATHTRACER_BVH_ROUND_POPS", "1")))
 
+# bf16 limbs per TEST gather (selection only — the winner resolve always
+# uses all 3 for exact attributes).  3 = exact f32 (bit-identical to the
+# dense sweep, the default and the tested contract).  2 = 16 mantissa
+# bits on the gathered plane constants: the t-key/u/v SELECTION may
+# differ from dense in ~2^-16-relative near-ties (shared-edge pixels),
+# while the final t/normal stay exact via the 3-limb resolve.  Perf
+# knob for A/Bs; NOT the default because it breaks the gather==dense
+# bit-identity contract.
+TEST_LIMBS = min(3, max(1, int(os.environ.get("PATHTRACER_BVH_TEST_LIMBS", "3"))))
+
 
 def _unflatten_row(x, gstep):
     """(1, gstep*128) -> (gstep, 128), inverse of _flatten_rows.
@@ -1343,7 +1353,7 @@ def _traverse_gather(
     # exclude-object compare: without an exclusion the per-round gather
     # statically drops it (13 -> 12 blocks of MXU work per round)
     a_test = _A_TEST if exclude_obj is not None else _A_TEST - 1
-    g_limbs = tuple(l[: a_test * PAGE_TRIS, :] for l in g_limbs_all)
+    g_limbs = tuple(l[: a_test * PAGE_TRIS, :] for l in g_limbs_all[:TEST_LIMBS])
     g_limbs_res = tuple(l[_A_TEST * PAGE_TRIS :, :] for l in g_limbs_all)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
@@ -1499,7 +1509,9 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     g_limbs_all = _bf16_limbs(pack.page_gather[...])
     p_pad = g_limbs_all[0].shape[1]
     # shadow rays never exclude an object: drop the obj test block
-    g_limbs = tuple(l[: (_A_TEST - 1) * PAGE_TRIS, :] for l in g_limbs_all)
+    g_limbs = tuple(
+        l[: (_A_TEST - 1) * PAGE_TRIS, :] for l in g_limbs_all[:TEST_LIMBS]
+    )
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
     # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape
