@@ -79,6 +79,11 @@ class TraceConfig:
     # per row are max-driven).  Physics-neutral; part of the jit key so
     # PATHTRACER_NO_WALK_SKIP=1 A/Bs recompile.
     walk_skip: bool = True
+    # PERF ATTRIBUTION ONLY (PATHTRACER_BVH_DROP=closest,shadow,spec):
+    # force-skips the named dynamic mesh walks entirely.  PHYSICS-WRONG
+    # images — the knob exists to time each walk's share of a render in
+    # one process (tools/perf/walk_attrib.py); never set it in real use.
+    debug_drop: tuple = ()
 
 
 def trace_config_for_scene(
@@ -128,6 +133,13 @@ def trace_config_for_scene(
         regen=regen,
         walk_skip=os.environ.get("PATHTRACER_NO_WALK_SKIP", "")
         not in ("1", "true", "on"),
+        debug_drop=tuple(
+            sorted(
+                w
+                for w in os.environ.get("PATHTRACER_BVH_DROP", "").split(",")
+                if w in ("closest", "shadow", "spec")
+            )
+        ),
     )
 
 
@@ -210,6 +222,8 @@ def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, p
             if cfg.has_rough_metal:
                 uses_direct = uses_direct | is_metal
             nee_skip = ~(alive & hit.hit & uses_direct)
+        if "shadow" in cfg.debug_drop:  # attribution only (see TraceConfig)
+            nee_skip = jnp.full(shape, True)
         direct = lights_ops.estimate_direct_light(
             p, n, hit.albedo, pack, rng, skip=nee_skip
         )
@@ -257,6 +271,8 @@ def _shade_gpu(hit: Hit, dirv: V3, throughput: V3, radiance: V3, rng: LaneRng, p
         spec_skip = None
         if alive is not None:
             spec_skip = ~(alive & is_rough_metal & ~metal_dead)
+        if "spec" in cfg.debug_drop:  # attribution only (see TraceConfig)
+            spec_skip = jnp.full(shape, True)
         rhit = intersect_world(
             refl_orig, mirror_dir, pack, _F(0.001), lite=True, skip=spec_skip
         )
@@ -414,7 +430,8 @@ def gpu_phase(carry, pack: ScenePack, cfg: TraceConfig, d_end: int):
         hit = intersect_world(
             orig, dirv, pack, _F(0.001),
             exclude_obj=glass_obj if cfg.has_dielectric else None,
-            skip=~alive if cfg.walk_skip else None,
+            skip=jnp.full(shape, True) if "closest" in cfg.debug_drop
+            else (~alive if cfg.walk_skip else None),
         )
 
         # miss -> sky (+ legacy fog), terminate (gpu.go:1389-1396)
@@ -639,7 +656,8 @@ def pass_regen_gpu(
         hit = intersect_world(
             orig, dirv, pack, _F(0.001),
             exclude_obj=glass_obj if cfg.has_dielectric else None,
-            skip=~alive if cfg.walk_skip else None,
+            skip=jnp.full(shape, True) if "closest" in cfg.debug_drop
+            else (~alive if cfg.walk_skip else None),
         )
 
         unit_d = dirv.normalize()

@@ -22,6 +22,7 @@ and ``tint = white`` when unset, ``emit *= power``.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import os
 from typing import Optional
 
@@ -211,6 +212,13 @@ def _clamp(x: float, lo: float, hi: float) -> float:
     return lo if x < lo else hi if x > hi else x
 
 
+# (paged BVH, page tiles, gather table) memo keyed on a sha1 of the
+# triangle content — the interactive loop re-packs the same mesh every
+# camera edit, and the build is the most expensive host step (~0.1 s at
+# 10k triangles even vectorized).  Entries are immutable once built.
+_BVH_BUILD_CACHE: dict = {}
+
+
 def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     """Pack a :class:`Scene` into SoA arrays (gpu.go:1813-2104).
 
@@ -342,18 +350,21 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             fog_block[13] = min(f.noise_octaves, 5)
 
     # --- triangles / meshes -> BVH (extension) ---
-    tri_v0, tri_e1, tri_e2, tri_mat_list = [], [], [], []
-    tri_smooth_list, tri_vn = [], []  # per-tri smooth flag / vertex normals
+    # Collected as (F,3) blocks per object and concatenated once: per-face
+    # Python loops cost ~0.8 s at 10k triangles (measured, walk_attrib
+    # round) and were half the mesh-scene render time.
+    tri_v0b, tri_e1b, tri_e2b, tri_matb = [], [], [], []
+    tri_smoothb, tri_vnb = [], []  # per-tri smooth flag / (3,3) vertex normals
     for o in sc.objects:
         midx = mat_index.get(o.material_id, 0)
         if o.type == "triangle" and o.vertices and len(o.vertices) >= 3:
             a, b, c = (np.array(v.as_tuple(), np.float64) for v in o.vertices[:3])
-            tri_v0.append(a)
-            tri_e1.append(b - a)
-            tri_e2.append(c - a)
-            tri_mat_list.append(midx)
-            tri_smooth_list.append(False)
-            tri_vn.append(None)
+            tri_v0b.append(a[None])
+            tri_e1b.append((b - a)[None])
+            tri_e2b.append((c - a)[None])
+            tri_matb.append(np.full((1,), midx, np.int64))
+            tri_smoothb.append(np.zeros((1,), bool))
+            tri_vnb.append(np.zeros((1, 3, 3), np.float64))
         elif o.type == "mesh" and o.mesh:
             verts = np.asarray(o.mesh.get("vertices", []), np.float64)
             faces = np.asarray(o.mesh.get("faces", []), np.int64)
@@ -364,31 +375,38 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             )
             verts = verts * scale + np.array(o.position.as_tuple(), np.float64)
             smooth = bool(o.mesh.get("smooth", False))
-            vert_n = None
+            fa, fb, fc = faces[:, 0], faces[:, 1], faces[:, 2]
+            a, b, c = verts[fa], verts[fb], verts[fc]
+            nf = faces.shape[0]
+            tri_v0b.append(a)
+            tri_e1b.append(b - a)
+            tri_e2b.append(c - a)
+            tri_matb.append(np.full((nf,), midx, np.int64))
+            tri_smoothb.append(np.full((nf,), smooth, bool))
             if smooth:
                 # area-weighted vertex normals: sum of adjacent faces'
                 # unnormalized cross products, normalized per vertex
+                fn = np.cross(b - a, c - a)
                 vert_n = np.zeros_like(verts)
-                for f in faces:
-                    a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
-                    fn = np.cross(b - a, c - a)
-                    vert_n[f[0]] += fn
-                    vert_n[f[1]] += fn
-                    vert_n[f[2]] += fn
+                np.add.at(vert_n, fa, fn)
+                np.add.at(vert_n, fb, fn)
+                np.add.at(vert_n, fc, fn)
                 norms = np.linalg.norm(vert_n, axis=1, keepdims=True)
                 vert_n = vert_n / np.maximum(norms, 1e-20)
-            for f in faces:
-                a, b, c = verts[f[0]], verts[f[1]], verts[f[2]]
-                tri_v0.append(a)
-                tri_e1.append(b - a)
-                tri_e2.append(c - a)
-                tri_mat_list.append(midx)
-                tri_smooth_list.append(smooth)
-                tri_vn.append(
-                    (vert_n[f[0]], vert_n[f[1]], vert_n[f[2]]) if smooth else None
-                )
+                tri_vnb.append(np.stack([vert_n[fa], vert_n[fb], vert_n[fc]], axis=1))
+            else:
+                tri_vnb.append(np.zeros((nf, 3, 3), np.float64))
 
-    t_count = len(tri_v0)
+    t_count = int(sum(b.shape[0] for b in tri_v0b))
+    tri_mat_list = (
+        np.concatenate(tri_matb) if t_count else np.zeros((0,), np.int64)
+    )
+    tri_smooth_list = (
+        np.concatenate(tri_smoothb) if t_count else np.zeros((0,), bool)
+    )
+    tri_vn = (
+        np.concatenate(tri_vnb) if t_count else np.zeros((0, 3, 3), np.float64)
+    )
     # obj/mat indices ride the 24-float tri rows as float32 (cols 9-10),
     # exact only up to 2^24 — guard the invariant rather than silently
     # rounding indices on absurdly large meshes.
@@ -412,25 +430,34 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             use_dynamic_walk,
         )
 
-        v0 = np.asarray(tri_v0)
-        e1 = np.asarray(tri_e1)
-        e2 = np.asarray(tri_e2)
+        v0 = np.concatenate(tri_v0b)
+        e1 = np.concatenate(tri_e1b)
+        e2 = np.concatenate(tri_e2b)
         if use_dynamic_walk(t_count):
             # Paged traversal (bvh.py round-3 redesign): page bboxes bake
             # into the traced code as scalar immediates; the XLA path
             # sweeps wanted pages densely (page_tiles), the Pallas kernel
             # gathers each lane's own page via one-hot matmul
-            # (page_gather).
-            paged, page_tiles, _page_bbox = build_paged_bvh(
-                v0,
-                e1,
-                e2,
-                tri_mat_list,
-                [o_count + i for i in range(t_count)],
-                tri_smooth_list,
-                tri_vn,
-            )
-            page_gather = build_gather_table(page_tiles, paged)
+            # (page_gather).  Build products are memoized on triangle
+            # CONTENT (interactive camera/light edits re-render the same
+            # mesh every frame; the build is pure in these inputs).
+            tri_obj = np.arange(o_count, o_count + t_count, dtype=np.int64)
+            key = hashlib.sha1()
+            for arr in (v0, e1, e2, tri_mat_list, tri_obj, tri_smooth_list, tri_vn):
+                key.update(np.ascontiguousarray(arr).tobytes())
+            key = key.hexdigest()
+            hitc = _BVH_BUILD_CACHE.get(key)
+            if hitc is None:
+                paged, page_tiles, _page_bbox = build_paged_bvh(
+                    v0, e1, e2, tri_mat_list, tri_obj, tri_smooth_list, tri_vn
+                )
+                page_gather = build_gather_table(page_tiles, paged)
+                if len(_BVH_BUILD_CACHE) >= 4:  # tiny LRU: scenes are few
+                    _BVH_BUILD_CACHE.pop(next(iter(_BVH_BUILD_CACHE)))
+                _BVH_BUILD_CACHE[key] = (paged, page_tiles, page_gather)
+            else:
+                _BVH_BUILD_CACHE[key] = _BVH_BUILD_CACHE.pop(key)  # LRU touch
+                paged, page_tiles, page_gather = hitc
         else:
             # Static unrolled walk: one 24-float row per BVH-ordered
             # triangle (geometry, material/object indices as exact small
