@@ -86,6 +86,20 @@ class TraceConfig:
     debug_drop: tuple = ()
 
 
+def _parse_bvh_drop(raw: str) -> tuple:
+    """Parse PATHTRACER_BVH_DROP strictly: a typo must fail loudly, not
+    silently time the base configuration (ADVICE r3).  Note the knob is
+    inert under the cpu contract (no dynamic mesh walks there)."""
+    toks = [w.strip() for w in raw.split(",") if w.strip()]
+    bad = [w for w in toks if w not in ("closest", "shadow", "spec")]
+    if bad:
+        raise ValueError(
+            f"PATHTRACER_BVH_DROP: unknown walk name(s) {bad!r}; "
+            "valid tokens are closest, shadow, spec"
+        )
+    return tuple(sorted(toks))
+
+
 def trace_config_for_scene(
     sc_pack: ScenePack,
     scene,
@@ -133,13 +147,7 @@ def trace_config_for_scene(
         regen=regen,
         walk_skip=os.environ.get("PATHTRACER_NO_WALK_SKIP", "")
         not in ("1", "true", "on"),
-        debug_drop=tuple(
-            sorted(
-                w
-                for w in os.environ.get("PATHTRACER_BVH_DROP", "").split(",")
-                if w in ("closest", "shadow", "spec")
-            )
-        ),
+        debug_drop=_parse_bvh_drop(os.environ.get("PATHTRACER_BVH_DROP", "")),
     )
 
 

@@ -464,7 +464,9 @@ def build_paged_bvh(
     rows[:, 13] = tri_obj
     rows[:, 14] = tri_smooth.astype(np.float64)
     rows[:, 15] = 1.0
-    any_smooth = bool(tri_smooth.any())
+    # degenerate rows are zeroed: only non-degenerate smooth triangles
+    # should widen the gather table / compile the interpolation path
+    any_smooth = bool((tri_smooth & ok).any())
     if any_smooth and tri_vn is not None:
         vn = np.asarray(tri_vn, np.float64)  # (T, 3 verts, 3)
         rows[:, 16:25] = np.where(

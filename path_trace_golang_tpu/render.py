@@ -525,7 +525,12 @@ class Renderer:
             n_strata, samples = 1, 1
 
         passes = max(1, cfg.samples_per_px)
-        update_every = max(1, passes // 10)
+        # progress cadence: the reference GPU driver reads back every
+        # ~10% of passes (gpu.go:2229); its CPU renderer reports every
+        # ~5% of tiles (renderer.go:226-235).  Our cpu contract streams
+        # per-pass like the gpu one, so "~5% of the work" maps to every
+        # ~5% of passes.
+        update_every = max(1, passes // (20 if contract == BACKEND_CPU else 10))
         # f32 accumulator: per-pass counts are i32 (fits easily) but long
         # renders overflow 2^31 total segments; f32 rounding error here is
         # <= 16 segments per ~263M-segment pass — irrelevant for Mrays/s

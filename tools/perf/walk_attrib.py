@@ -66,23 +66,27 @@ def main() -> int:
     renderer = pt.Renderer(contract="gpu", seed=3)
     cfg = pt.RenderConfig(w, h, 1, 8)
 
-    # warm every variant first (compiles), then timed interleaved reps
-    for name, drop in CONFIGS:
-        os.environ["PATHTRACER_BVH_DROP"] = drop
-        t0 = time.perf_counter()
-        renderer.render(sc, cfg)
-        print(f"warm {name:9s} {time.perf_counter() - t0:6.1f}s", flush=True)
-
+    # warm every variant first (compiles), then timed interleaved reps.
+    # try/finally: if a render raises, the physics-wrong drop knob must
+    # not leak into the process env (ADVICE r3)
     times: dict[str, list[float]] = {n: [] for n, _ in CONFIGS}
     means: dict[str, float] = {}
-    for _ in range(reps):
+    try:
         for name, drop in CONFIGS:
             os.environ["PATHTRACER_BVH_DROP"] = drop
             t0 = time.perf_counter()
-            img = renderer.render(sc, cfg)
-            times[name].append(time.perf_counter() - t0)
-            means[name] = float(img.mean())
-    os.environ.pop("PATHTRACER_BVH_DROP", None)
+            renderer.render(sc, cfg)
+            print(f"warm {name:9s} {time.perf_counter() - t0:6.1f}s", flush=True)
+
+        for _ in range(reps):
+            for name, drop in CONFIGS:
+                os.environ["PATHTRACER_BVH_DROP"] = drop
+                t0 = time.perf_counter()
+                img = renderer.render(sc, cfg)
+                times[name].append(time.perf_counter() - t0)
+                means[name] = float(img.mean())
+    finally:
+        os.environ.pop("PATHTRACER_BVH_DROP", None)
 
     base = min(times["base"])
     print(f"\n{'config':10s} {'best':>6s} {'all reps':>24s} {'share of base':>14s}  img mean")
