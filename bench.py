@@ -1,7 +1,14 @@
-"""Headline benchmark: Mrays/sec/chip on gpu_showcase.json.
+"""Headline benchmark: Mrays/sec/chip on gpu_showcase.json + mesh BVH.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "spread": ..., "compile_s": ..., "mesh_mrays": ..., ...}
+
+``value`` is the MEDIAN of >= 3 independently timed pass windows (the
+axon tunnel varies ±30% across processes and ±15% across chips — a
+single timed run carries no round-over-round significance; PERF.md
+"Measurement discipline").  ``spread`` is (max - min) of the window
+measurements in Mrays/s.
 
 Baseline target (BASELINE.json): >= 100 Mrays/sec on one v5e chip;
 headline config is gpu_showcase.json at 1080p (full GPU physics contract:
@@ -9,15 +16,34 @@ NEE over 7 sphere lights, volumetric fog march, GGX metals, dielectrics,
 16 stratified samples per progressive pass).  "Rays" counts traced path
 segments (primary + bounces, shadow/NEE rays not counted — conservative).
 
-Diagnostics (per-scene table, wall-clock to 64 spp) go to stderr.
+``mesh_mrays`` renders the 10,240-triangle UV-sphere scene
+(scene.builtin.bench_mesh — the workload tools/perf/bvh_bench.py has
+tracked since round 3) at 512x512, 1 pass, depth 8 through the paged-BVH
+gather walk, so mesh throughput is a driver-tracked number, not a
+PERF.md-only one.
+
+Diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+
+def _timed_windows(renderer_factory, scene, cfg, n_runs):
+    """Render ``cfg`` ``n_runs`` times in fresh renderers; returns the
+    per-run Mrays/s list (same process, same tunnel worker — the only
+    comparison regime PERF.md found trustworthy)."""
+    rates = []
+    for i in range(n_runs):
+        r = renderer_factory(i)
+        r.render(scene, cfg)
+        rates.append(r.stats.mrays_per_sec)
+    return rates
 
 
 def main() -> int:
@@ -39,15 +65,13 @@ def main() -> int:
 
     width, height = 1920, 1080
     max_depth = 12  # gpu_showcase settings (SURVEY.md §6)
-    # The warmup must compile the SAME kernels the timed run uses: the
-    # timed run renders whole pass windows (PATHTRACER_PASS_WINDOW,
+    # The warmup must compile the SAME kernels the timed runs use: the
+    # timed runs render whole pass windows (PATHTRACER_PASS_WINDOW,
     # default 8), so a 1-pass warmup would leave the window kernel's
-    # ~90s compile inside the timed region whenever the persistent cache
+    # compile inside the timed region whenever the persistent cache
     # misses (fresh backend/libtpu).  Warm one full window.
     window = max(1, int(os.environ.get("PATHTRACER_PASS_WINDOW", "8")))
-    bench_passes = int(os.environ.get("BENCH_PASSES", "16"))
-    bench_passes = max(bench_passes, window)
-    warm_passes = min(window, bench_passes)
+    n_runs = max(3, int(os.environ.get("BENCH_RUNS", "3")))
 
     path = builtin.find_scene("gpu_showcase")
     if path is not None:
@@ -58,29 +82,43 @@ def main() -> int:
         name = "demo_showcase(builtin)"
     print(f"bench scene: {name} @ {width}x{height}, depth {max_depth}", file=sys.stderr)
 
-    renderer = pt.Renderer(contract="gpu", seed=1)
+    cfg = pt.RenderConfig(width, height, window, max_depth)
 
     # warmup / compile — tracked in the JSON artifact (compile_s) so the
     # cold-start cost is a budgeted number across rounds, not a silent tax
     t0 = time.perf_counter()
-    renderer.render(sc, pt.RenderConfig(width, height, warm_passes, max_depth))
+    pt.Renderer(contract="gpu", seed=1).render(sc, cfg)
     compile_s = time.perf_counter() - t0
     print(f"warmup+compile: {compile_s:.1f}s", file=sys.stderr)
 
-    # timed run
-    renderer = pt.Renderer(contract="gpu", seed=2)
-    img = renderer.render(sc, pt.RenderConfig(width, height, bench_passes, max_depth))
-    s = renderer.stats
-    mrays = s.mrays_per_sec
-    per_pass = s.wall_seconds / max(1, s.passes)
+    # timed runs: n_runs independent windows, median + spread
+    rates = _timed_windows(
+        lambda i: pt.Renderer(contract="gpu", seed=2 + i), sc, cfg, n_runs
+    )
+    mrays = statistics.median(rates)
+    spread = max(rates) - min(rates)
+    for i, r in enumerate(rates):
+        print(f"  window {i}: {r:.1f} Mrays/s", file=sys.stderr)
     print(
-        f"{s.passes} passes in {s.wall_seconds:.2f}s ({per_pass:.2f}s/pass), "
-        f"{s.ray_segments / 1e6:.0f}M segments, {mrays:.1f} Mrays/s, "
-        f"image mean {img.mean():.1f}",
+        f"headline: median {mrays:.1f} Mrays/s of {len(rates)} windows "
+        f"(spread {spread:.1f})",
         file=sys.stderr,
     )
+
+    # ---- mesh/BVH metric: 10,240-triangle bench scene ------------------
+    mesh_sc = builtin.bench_mesh()
+    mesh_cfg = pt.RenderConfig(512, 512, 1, 8)
+    t0 = time.perf_counter()
+    pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)
+    mesh_compile_s = time.perf_counter() - t0
+    print(f"mesh warmup+compile: {mesh_compile_s:.1f}s", file=sys.stderr)
+    mesh_rates = _timed_windows(
+        lambda i: pt.Renderer(contract="gpu", seed=12 + i), mesh_sc, mesh_cfg, n_runs
+    )
+    mesh_mrays = statistics.median(mesh_rates)
     print(
-        f"projected wall-clock to 64 spp @1080p: {per_pass * 64:.1f}s",
+        f"mesh (10,240 tris @512x512/1pass/d8): median {mesh_mrays:.2f} Mrays/s "
+        f"of {[round(r, 2) for r in mesh_rates]}",
         file=sys.stderr,
     )
 
@@ -91,7 +129,12 @@ def main() -> int:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "spread": round(spread, 2),
+                "runs": len(rates),
                 "compile_s": round(compile_s, 1),
+                "mesh_mrays": round(mesh_mrays, 2),
+                "mesh_spread": round(max(mesh_rates) - min(mesh_rates), 2),
+                "mesh_compile_s": round(mesh_compile_s, 1),
             }
         )
     )

@@ -22,6 +22,7 @@ __all__ = [
     "demo_cornell",
     "demo_showcase",
     "demo_mesh",
+    "bench_mesh",
     "builtin_scene",
 ]
 
@@ -65,6 +66,8 @@ def builtin_scene(name: str) -> Optional[Scene]:
         return demo_showcase()
     if name in ("demo_mesh", "mesh"):
         return demo_mesh()
+    if name == "bench_mesh":
+        return bench_mesh()
     return None
 
 
@@ -170,6 +173,42 @@ def demo_mesh() -> Scene:
             zenith=Color(0.02, 0.04, 0.09),
         ),
         settings=RenderSettings(width=480, height=270, samples_per_px=4, max_depth=8),
+    )
+
+
+def bench_mesh(n_lat: int = 80, n_lon: int = 64) -> Scene:
+    """The mesh/BVH benchmark scene: a 10,240-triangle flat-shaded UV
+    sphere (gold metal) over a plane with one sphere light.
+
+    This is the exact workload tools/perf/bvh_bench.py tracks across
+    rounds (PERF.md "BVH at 10k triangles"); bench.py renders it at
+    512x512, 1 pass, depth 8 for the driver-visible ``mesh_mrays``
+    metric.  Gold metal + one light means every bounce iteration pays
+    all three mesh traversals (closest-hit, NEE shadow, specular-NEE)."""
+    return Scene(
+        name="bench_mesh",
+        camera=Camera(
+            position=Vec3(0.0, 1.5, 4.5), target=Vec3(0.0, 1.0, 0.0), fov=50.0
+        ),
+        materials=[
+            _m("grey", "lambert", albedo=(0.6, 0.6, 0.65)),
+            _m("gold", "metal", albedo=(0.9, 0.7, 0.3), smoothness=0.6),
+            _m("sun", "emissive", emit=(1.0, 0.95, 0.8), power=40.0),
+        ],
+        objects=[
+            _o("floor", "plane", (0, 0, 0), material_id="grey"),
+            _uv_sphere_mesh(
+                "blob", "gold", pos=(0.0, 1.0, 0.0), scale=1.0,
+                n_lat=n_lat, n_lon=n_lon, smooth=False,
+            ),
+            _o("lamp", "sphere_light", (3, 5, 2), size=(0.8, 0.8, 0.8), material_id="sun"),
+        ],
+        sky=Sky(
+            type="gradient",
+            horizon=Color(0.8, 0.85, 1.0),
+            zenith=Color(0.3, 0.5, 0.9),
+        ),
+        settings=RenderSettings(width=512, height=512, samples_per_px=16, max_depth=8),
     )
 
 

@@ -28,7 +28,8 @@ import numpy as np
 
 
 def uv_sphere(n_lat: int, n_lon: int, center=(0.0, 1.0, 0.0), radius=1.0):
-    """Indexed UV-sphere mesh: 2 * n_lat * n_lon triangles."""
+    """Indexed UV-sphere mesh: 2 * n_lat * n_lon triangles (shared by the
+    sibling perf probes; bench renders use scene.builtin.bench_mesh)."""
     cx, cy, cz = center
     verts = []
     for i in range(n_lat + 1):
@@ -74,53 +75,20 @@ def main() -> int:
         if r.returncode:
             return r.returncode
 
-    from path_trace_golang_tpu import render as render_mod
     from path_trace_golang_tpu.ops import bvh as bvh_mod
     from path_trace_golang_tpu.ops.camera import camera_rays
     from path_trace_golang_tpu.ops.rng import LaneRng, seed_lanes
     from path_trace_golang_tpu.ops.vec import LANE, V3
-    from path_trace_golang_tpu.scene import model as M
+    from path_trace_golang_tpu.scene import builtin
     from path_trace_golang_tpu.soa import pack_scene
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     counts_only = "--counts" in sys.argv
     n_lat = int(args[0]) if len(args) > 0 else 80
     n_lon = int(args[1]) if len(args) > 1 else 64
-    verts, faces = uv_sphere(n_lat, n_lon)
-
-    sc = M.Scene(
-        camera=M.Camera(
-            position=M.Vec3(0, 1.5, 4.5), target=M.Vec3(0, 1, 0), fov=50.0
-        ),
-        materials=[
-            M.Material(id="grey", type="lambert", albedo=M.Color(0.6, 0.6, 0.65)),
-            M.Material(id="gold", type="metal", albedo=M.Color(0.9, 0.7, 0.3), smoothness=0.6),
-            M.Material(
-                id="sun", type="emissive", emit=M.Color(1, 0.95, 0.8), power=40.0
-            ),
-        ],
-        objects=[
-            M.Object(id="floor", type="plane", material_id="grey", position=M.Vec3(0, 0, 0)),
-            M.Object(
-                id="blob",
-                type="mesh",
-                material_id="gold",
-                mesh={"vertices": [list(v) for v in verts], "faces": [list(f) for f in faces]},
-            ),
-            M.Object(
-                id="lamp",
-                type="sphere_light",
-                material_id="sun",
-                position=M.Vec3(3, 5, 2),
-                size=M.Vec3(0.8, 0.8, 0.8),
-            ),
-        ],
-        sky=M.Sky(
-            type="gradient",
-            horizon=M.Color(0.8, 0.85, 1.0),
-            zenith=M.Color(0.3, 0.5, 0.9),
-        ),
-    )
+    # the SAME scene bench.py's mesh_mrays metric renders — one tracked
+    # workload, two entry points
+    sc = builtin.bench_mesh(n_lat, n_lon)
 
     w = h = 512
     pack = pack_scene(sc, w, h)
