@@ -369,6 +369,21 @@ class PagedBvh:
     # every remaining page's slab entry is >= (center - o)/d - margin/|d|
     sort_axis: int = 0
     sort_margin: float = 0.0
+    # Optional per-page SUB-boxes (PATHTRACER_BVH_SUBBOX sub-AABBs per
+    # page, flattened to one 6*k float tuple per page).  A page of 128
+    # triangles is a long curved surface shell whose single AABB is
+    # loose; the prepass marks a page wanted only if the ray enters ANY
+    # sub-box.  Every triangle lives inside one sub-box, so skipped
+    # pages cannot contain a hit — wants shrink, results are
+    # bit-identical.  Empty tuple = single-box prepass.
+    sub_bounds: Tuple[Tuple[float, ...], ...] = ()
+    # Piecewise-linear fit of the (sorted, monotone) page centers:
+    # ((p_hi, a, b, dev), ...) with center(p) ~= a*p + b and
+    # |center(p) - fit| <= dev on each segment.  The gather walk's
+    # early-stop evaluates the fit (a handful of selects + one fma)
+    # instead of an n_pages-long select chain, and folds ``dev`` into
+    # the margin — the kill rule stays exactly conservative.
+    center_fit: Tuple[Tuple[int, float, float, float], ...] = ()
 
     @property
     def mask_words(self) -> int:
@@ -440,6 +455,64 @@ def build_paged_bvh(
         c = (blo[sort_axis] + bhi[sort_axis]) * 0.5
         sort_margin = max(sort_margin, c - blo[sort_axis], bhi[sort_axis] - c)
 
+    # per-page sub-boxes: split each page's members into k runs along the
+    # page's longest centroid axis; the prepass tests these tighter boxes
+    # instead of the single loose shell AABB (see PagedBvh.sub_bounds)
+    n_sub = max(1, min(8, int(os.environ.get("PATHTRACER_BVH_SUBBOX", "2"))))
+    sub_bounds = ()
+    if n_sub > 1:
+        sub_list = []
+        for m in pages:
+            c = centroid[m]
+            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            order = np.argsort(c[:, axis], kind="stable")
+            runs = np.array_split(np.asarray(m)[order], min(n_sub, len(m)))
+            flat = []
+            for run in runs:
+                if len(run) == 0:
+                    run = runs[0][:1]  # degenerate tiny page: repeat
+                blo, bhi = lo[run].min(axis=0), hi[run].max(axis=0)
+                flat += [float(x) for x in blo] + [float(x) for x in bhi]
+            while len(flat) < 6 * n_sub:  # pad tiny pages to k boxes
+                flat += flat[-6:]
+            sub_list.append(tuple(flat))
+        sub_bounds = tuple(sub_list)
+
+    # piecewise-linear center fit (chord per equal-count segment, with
+    # the max residual recorded so the early stop can stay conservative)
+    pcent_sorted = np.array(
+        [
+            np.float32(
+                (lo[m].min(axis=0)[sort_axis] + hi[m].max(axis=0)[sort_axis]) * 0.5
+            )
+            for m in pages
+        ],
+        np.float64,
+    )
+    n_seg = min(4, n_pages)
+    fit = []
+    edges = np.linspace(0, n_pages, n_seg + 1).astype(int)
+    for s in range(n_seg):
+        lo_i, hi_i = int(edges[s]), int(edges[s + 1]) - 1
+        if hi_i <= lo_i:
+            a_s, b_s = 0.0, float(pcent_sorted[lo_i])
+        else:
+            a_s = float(
+                (pcent_sorted[hi_i] - pcent_sorted[lo_i]) / (hi_i - lo_i)
+            )
+            b_s = float(pcent_sorted[lo_i] - a_s * lo_i)
+        idx = np.arange(lo_i, hi_i + 1)
+        dev = float(np.abs(pcent_sorted[lo_i : hi_i + 1] - (a_s * idx + b_s)).max())
+        fit.append(
+            (
+                hi_i,
+                float(np.float32(a_s)),
+                float(np.float32(b_s)),
+                float(np.float32(dev * (1 + 1e-5) + 1e-7)),
+            )
+        )
+    center_fit = tuple(fit)
+
     # vectorized per-triangle plane-form precompute (float64): the
     # per-row np.cross loop this replaces cost ~0.8 s at 10k triangles
     # and dominated interactive re-packs (walk_attrib measurement)
@@ -492,6 +565,8 @@ def build_paged_bvh(
         page_bounds=tuple(bounds),
         sort_axis=sort_axis,
         sort_margin=float(np.float32(sort_margin * (1 + 1e-6))),
+        sub_bounds=sub_bounds,
+        center_fit=center_fit,
     )
     return paged, tiles.astype(np.float32), page_bbox
 
@@ -614,6 +689,39 @@ def _page_tile(table, p):
     )[0]
 
 
+def _page_boxes(paged: PagedBvh, p: int):
+    """Static prepass boxes for page ``p``: the sub-AABBs when built
+    (deduplicated — tiny pages pad by repetition), else the page bbox."""
+    if paged.sub_bounds:
+        flat = paged.sub_bounds[p]
+        boxes = [flat[i : i + 6] for i in range(0, len(flat), 6)]
+        out = []
+        for b in boxes:
+            if b not in out:
+                out.append(b)
+        return out
+    return [paged.page_bounds[p]]
+
+
+def _page_want(o, inv, paged: PagedBvh, p: int, t_min, best_t, t_max, need_t0):
+    """Entry test of page ``p`` against its (sub-)boxes: returns
+    (want, t0) where t0 is the min entered-box slab entry (only when
+    ``need_t0``; conservative lower bound on any hit t in the page)."""
+    want, t0m = None, None
+    for b in _page_boxes(paged, p):
+        t0, t1 = _slab_scalars(
+            o, inv, _F(b[0]), _F(b[1]), _F(b[2]), _F(b[3]), _F(b[4]), _F(b[5])
+        )
+        w = (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
+        if t_max is not None:
+            w = w & (t0 <= t_max)
+        want = w if want is None else (want | w)
+        if need_t0:
+            te = jnp.where(w, t0, _F(_BIG_T))
+            t0m = te if t0m is None else jnp.minimum(t0m, te)
+    return want, t0m
+
+
 def _page_prepass(o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=None):
     """Mark every page whose bbox a lane's ray enters: per-lane bitmask
     words (list of i32 lane grids).  STATIC unroll over pages with the
@@ -623,13 +731,7 @@ def _page_prepass(o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=No
     zero_i = _lane_zero_i32(o.x)
     words = [zero_i for _ in range(paged.mask_words)]
     for p in range(paged.n_pages):
-        b = paged.page_bounds[p]
-        t0, t1 = _slab_scalars(
-            o, inv, _F(b[0]), _F(b[1]), _F(b[2]), _F(b[3]), _F(b[4]), _F(b[5])
-        )
-        want = (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
-        if t_max is not None:
-            want = want & (t0 <= t_max)
+        want, _ = _page_want(o, inv, paged, p, t_min, best_t, t_max, False)
         if skip is not None:
             want = want & ~skip
         j, rel = divmod(p, MASK_BITS)
@@ -649,16 +751,24 @@ N_BUCKETS = 4
 
 
 def _page_prepass_bucketed(
-    o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=None
+    o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=None, fwd=None
 ):
     """Bucketed prepass: returns (bwords, splits).
 
     ``bwords``: N_BUCKETS lists of mask words — bucket b marks pages
     whose slab entry t0 falls in [splits[b-1], splits[b]) per lane.
     ``splits``: N_BUCKETS-1 lane grids; bucket b (b>=1) may be dropped
-    entirely once splits[b-1] exceeds the lane's best t."""
+    entirely once splits[b-1] exceeds the lane's best t.
+
+    ``fwd`` (bool lane grid: ray advances along the sort axis) enables
+    DIRECTION FOLDING: backward lanes store page p at bit position
+    ``n_pages-1-p``, so the per-round pop is a single lowest-set-bit
+    scan for every lane (near-to-far either way) instead of the old
+    dual low/high-bit scan — the per-page select moves into this
+    one-time prepass, off the per-round critical path."""
     nb = N_BUCKETS
     zero_i = _lane_zero_i32(o.x)
+    n_pages = paged.n_pages
     bwords = [[zero_i for _ in range(paged.mask_words)] for _ in range(nb)]
 
     # static root bbox = union of page bounds
@@ -676,34 +786,41 @@ def _page_prepass_bucketed(
     step = jnp.maximum(hi - lo, _F(0.0)) * _F(1.0 / nb)
     splits = [lo + step * _F(float(b)) for b in range(1, nb)]
 
-    for p in range(paged.n_pages):
-        b = paged.page_bounds[p]
-        t0, t1 = _slab_scalars(
-            o, inv, _F(b[0]), _F(b[1]), _F(b[2]), _F(b[3]), _F(b[4]), _F(b[5])
-        )
-        want = (t1 >= t0) & (t1 >= t_min) & (t0 < best_t)
-        if t_max is not None:
-            want = want & (t0 <= t_max)
+    for p in range(n_pages):
+        want, t0 = _page_want(o, inv, paged, p, t_min, best_t, t_max, True)
         if skip is not None:
             want = want & ~skip
         ge = [t0 >= s for s in splits]
-        j, rel = divmod(p, MASK_BITS)
-        bit = jnp.int32(1 << rel)
+        jf, rf = divmod(p, MASK_BITS)
+        jb, rb = divmod(n_pages - 1 - p, MASK_BITS)
+        bit_f, bit_b = jnp.int32(1 << rf), jnp.int32(1 << rb)
+        if fwd is not None and jf == jb:
+            bit_sel = jnp.where(fwd, bit_f, bit_b)
         for bi in range(nb):
             in_b = want
             if bi >= 1:
                 in_b = in_b & ge[bi - 1]
             if bi < nb - 1:
                 in_b = in_b & ~ge[bi]
-            bwords[bi][j] = bwords[bi][j] | jnp.where(in_b, bit, 0)
+            if fwd is None:
+                bwords[bi][jf] = bwords[bi][jf] | jnp.where(in_b, bit_f, 0)
+            elif jf == jb:
+                bwords[bi][jf] = bwords[bi][jf] | jnp.where(in_b, bit_sel, 0)
+            else:
+                bwords[bi][jf] = bwords[bi][jf] | jnp.where(in_b & fwd, bit_f, 0)
+                bwords[bi][jb] = bwords[bi][jb] | jnp.where(in_b & ~fwd, bit_b, 0)
     return bwords, splits
 
 
-def _pop_bucketed(bwords, sent, fwd):
-    """Pop each lane's next page from its first non-empty bucket
-    (direction-aware within the bucket).  Returns (p_l, new bwords,
-    sel) where sel[b] marks lanes that popped from bucket b."""
-    p_l = jnp.full_like(bwords[0][0], sent)
+def _pop_bucketed(bwords, sent, fwd, n_pages):
+    """Pop each lane's next page from its first non-empty bucket.
+
+    Words are DIRECTION-FOLDED at prepass time (backward lanes store
+    page p at bit ``n_pages-1-p``), so the pop is one lowest-set-bit
+    scan per word for every lane; the folded index unfolds once at the
+    end.  Returns (p_l true page index, new bwords, sel) where sel[b]
+    marks lanes that popped from bucket b."""
+    p_f = jnp.full_like(bwords[0][0], sent)
     earlier = None
     outs, sel = [], []
     for words_b in bwords:
@@ -712,11 +829,13 @@ def _pop_bucketed(bwords, sent, fwd):
             any_b = any_b | w
         nonempty = any_b > 0
         sel_b = nonempty if earlier is None else (nonempty & ~earlier)
-        p_b, popped = _pop_dir(words_b, sent, fwd)
+        p_b = _next_wanted(words_b, sent)
+        popped = _clear_bit(words_b, p_b)
         outs.append([jnp.where(sel_b, pw, w) for pw, w in zip(popped, words_b)])
-        p_l = jnp.where(sel_b, p_b, p_l)
+        p_f = jnp.where(sel_b, p_b, p_f)
         earlier = nonempty if earlier is None else (earlier | nonempty)
         sel.append(sel_b)
+    p_l = jnp.where(p_f < sent, jnp.where(fwd, p_f, n_pages - 1 - p_f), p_f)
     return p_l, outs, sel
 
 
@@ -1266,29 +1385,15 @@ def _gather_dot(limbs, onehot):
     return acc
 
 
-def _pop_dir(words_r, sent, fwd):
-    """Per-lane page pop, direction-aware: the lowest wanted page where
-    ``fwd`` (ray advances along the sort axis) else the highest — pages
-    are index-sorted by axis center, so this is near-to-far per lane.
-    Returns (p_l, words with the popped bit cleared)."""
-    p_lo = _next_wanted(words_r, sent)
-    p_hi = None
-    for j, w in enumerate(words_r):
-        # isolate the top set bit exactly (fill-down, then f - f>>1);
-        # the float-exponent trick is then exact on a power of two
-        f = w | (w >> 1)
-        f = f | (f >> 2)
-        f = f | (f >> 4)
-        f = f | (f >> 8)
-        f = f | (f >> 16)
-        top = f - (f >> 1)
-        bits = lax.bitcast_convert_type(top.astype(jnp.float32), jnp.int32)
-        idx = (bits >> 23) - 127 + MASK_BITS * j
-        cand = jnp.where(w > 0, idx, -1)
-        p_hi = cand if p_hi is None else jnp.maximum(p_hi, cand)
-    p_hi = jnp.where(p_hi < 0, sent, p_hi)
-    p_l = jnp.where(fwd, p_lo, p_hi)
-    return p_l, _clear_bit(words_r, p_l)
+def _center_fit_of(paged: "PagedBvh"):
+    """The build's piecewise-linear center fit, or a one-segment
+    conservative fallback for hand-built PagedBvh instances."""
+    if paged.center_fit:
+        return paged.center_fit
+    cs = _page_centers(paged)
+    lo, hi = min(cs), max(cs)
+    mid, dev = (lo + hi) * 0.5, (hi - lo) * 0.5
+    return ((paged.n_pages - 1, 0.0, float(mid), float(np.float32(dev * (1 + 1e-5)))),)
 
 
 def _clear_bit(words_r, p_l):
@@ -1303,18 +1408,22 @@ def _clear_bit(words_r, p_l):
 
 
 def _gather_round(
-    g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r, centers=None
+    g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r,
+    center_fit=None,
 ):
     """One gather round for one sublane row: returns the per-pair winner
-    key min-reduced to (1, LANE) plus the popped page's axis center.
+    key min-reduced to (1, LANE) plus the popped page's approximate axis
+    center and its fit deviation.
 
-    ``centers`` (static per-page floats) selects the early-stop center
-    by a compile-time-immediate chain over ``p_l`` — one select per
-    page on the VPU instead of a 128-row gather block on the MXU;
-    returns None in its place when not provided (the any-hit walk never
-    uses it).  The valid column (15) is substituted with a constant:
-    invalid slots are all-zero rows, already rejected by the |denom|
-    guard in _mt_key (see _G_TEST_COLS)."""
+    ``center_fit`` (static piecewise-linear segments, see
+    PagedBvh.center_fit) evaluates the early-stop center as a handful
+    of compile-time-immediate selects plus one fma — the deviation
+    rides back so the caller folds it into the kill margin, keeping the
+    stop exactly conservative.  Returns (None, None) in their place
+    when not provided (the any-hit walk never stops on centers).  The
+    valid column (15) is substituted with a constant: invalid slots are
+    all-zero rows, already rejected by the |denom| guard in _mt_key
+    (see _G_TEST_COLS)."""
     iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
     onehot = iota_p == p_l
     g = _gather_dot(g_limbs, onehot)  # (A_TEST*PAGE_TRIS, LANE)
@@ -1336,14 +1445,22 @@ def _gather_round(
         k_iota,
         jnp.int32(_big_key()),
     )
-    c_ax = None
-    if centers is not None:
-        # sentinel (p_l == n_pages) keeps the 0.0 init — identical to
-        # the zero-padded column the removed table block produced
-        c_ax = p_l.astype(jnp.float32) * _F(0.0)
-        for i, c in enumerate(centers):
-            c_ax = jnp.where(p_l == i, _F(c), c_ax)
-    return jnp.min(keys, axis=0, keepdims=True), c_ax
+    c_ax, dev = None, None
+    if center_fit is not None:
+        pf = p_l.astype(jnp.float32)
+        last = center_fit[-1]
+        a_l = pf * _F(0.0) + _F(last[1])
+        b_l = pf * _F(0.0) + _F(last[2])
+        dev = pf * _F(0.0) + _F(last[3])
+        for p_hi, a_s, b_s, dv_s in reversed(center_fit[:-1]):
+            m = p_l <= p_hi
+            a_l = jnp.where(m, _F(a_s), a_l)
+            b_l = jnp.where(m, _F(b_s), b_l)
+            dev = jnp.where(m, _F(dv_s), dev)
+        # sentinel lanes (p_l == n_pages) extrapolate the last segment —
+        # harmless: their sel flags are False, so the kill never reads it
+        c_ax = a_l * pf + b_l
+    return jnp.min(keys, axis=0, keepdims=True), c_ax, dev
 
 
 def _traverse_gather(
@@ -1366,7 +1483,7 @@ def _traverse_gather(
     g_limbs_res = tuple(l[_A_TEST * PAGE_TRIS :, :] for l in g_limbs_all)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
-    centers = _page_centers(paged)
+    center_fit = _center_fit_of(paged)
 
     # GROUP_ROWS sublane rows share each gather round: the whole grid
     # flattens ONCE to (rows/G, G*128) — float/int reshapes only; bool
@@ -1398,8 +1515,10 @@ def _traverse_gather(
     # bool grids cannot cross a Mosaic reshape: flatten skip as i32
     skip_f = None if skip is None else (gf(skip.astype(jnp.int32)) != 0)
 
+    fwd_g = d_ax >= 0  # whole-grid: prepass folds backward lanes' bits
     bwords, splits = _page_prepass_bucketed(
-        of, df, inv, paged, t_min, best_t_f, t_max=t_max_f, skip=skip_f
+        of, df, inv, paged, t_min, best_t_f, t_max=t_max_f, skip=skip_f,
+        fwd=fwd_g,
     )
     best_key0 = (
         lax.bitcast_convert_type(best_t_f + of.x * _F(0.0), jnp.int32)
@@ -1441,30 +1560,33 @@ def _traverse_gather(
             # the winner) so the MXU can pipeline them
             pops = []
             for _ in range(ROUND_POPS):
-                p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r)
+                p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r, n_pages)
                 pops.append((p_l, selb))
             rounds = []
             for p_l, selb in pops:
-                page_key, c_ax = _gather_round(
+                page_key, c_ax, dev = _gather_round(
                     g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r,
-                    centers=centers,
+                    center_fit=center_fit,
                 )
-                rounds.append((p_l, selb, page_key, c_ax))
+                rounds.append((p_l, selb, page_key, c_ax, dev))
             new_key = bk
-            for p_l, _selb, page_key, _c_ax in rounds:
+            for p_l, _selb, page_key, _c_ax, _dev in rounds:
                 prev = new_key
                 new_key = jnp.minimum(prev, page_key)
                 bp = jnp.where(new_key < prev, p_l, bp)
             ut = _key_upper_t(new_key)
             # exact near-to-far early stop within the popped bucket:
             # every page remaining there (axis-sorted, direction-aware
-            # pop) has slab entry >= (c_ax - o)/d - margin/|d|
+            # pop) has slab entry >= (c_fit - o)/d - (margin+dev)/|d|
+            # (|c_true - c_fit| <= dev by the build's fit residual)
             # exact bucket kill: bucket b's pages all have entry t >=
             # splits[b-1] (by prepass construction)
             for b in range(nb):
                 kill = None
-                for _p_l, selb, _pk, c_ax in rounds:
-                    t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
+                for _p_l, selb, _pk, c_ax, dev in rounds:
+                    t_entry = (c_ax - o_ax_r) * inv_ax_r - (
+                        margin + dev
+                    ) * jnp.abs(inv_ax_r)
                     k_i = (t_entry > ut) & selb[b]
                     kill = k_i if kill is None else (kill | k_i)
                 if b >= 1:
@@ -1537,15 +1659,16 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     blocked_f = gf(blocked.astype(jnp.int32))
 
     big_t = of.x * _F(0.0) + _F(_BIG_T)  # desplat (Mosaic layout bug)
+    ax = paged.sort_axis
+    d_ax = (df.x, df.y, df.z)[ax]
     # bucketed near-to-far popping: a shadow ray usually blocks on the
     # page nearest its origin, so draining near buckets first lets most
     # lanes drop out after one round
     bwords, _splits = _page_prepass_bucketed(
-        of, df, inv, paged, t_min, big_t, t_max=t_max_f, skip=(blocked_f != 0)
+        of, df, inv, paged, t_min, big_t, t_max=t_max_f,
+        skip=(blocked_f != 0), fwd=d_ax >= 0,
     )
     key0 = lax.bitcast_convert_type(big_t, jnp.int32) | jnp.int32(_KEY_SLOT_MASK)
-    ax = paged.sort_axis
-    d_ax = (df.x, df.y, df.z)[ax]
     nb = len(bwords)
     nw = nb * w_n
 
@@ -1571,8 +1694,8 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
             bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
             blk = carry[nw]
             for _ in range(ROUND_POPS):
-                p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r)
-                page_key, _c_ax = _gather_round(
+                p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
+                page_key, _c_ax, _dev = _gather_round(
                     g_limbs, p_l, p_pad, o_r, d_r, t_min, key0_r, t_max_r, None
                 )
                 blk = blk | (page_key < key0_r).astype(jnp.int32)

@@ -445,6 +445,9 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
             key = hashlib.sha1()
             for arr in (v0, e1, e2, tri_mat_list, tri_obj, tri_smooth_list, tri_vn):
                 key.update(np.ascontiguousarray(arr).tobytes())
+            # build-shaping env knobs are part of the identity (perf A/B
+            # tools flip PATHTRACER_BVH_SUBBOX in one process)
+            key.update(os.environ.get("PATHTRACER_BVH_SUBBOX", "").encode())
             key = key.hexdigest()
             hitc = _BVH_BUILD_CACHE.get(key)
             if hitc is None:

@@ -143,11 +143,14 @@ def traversal_keys(variant, paged, tiles_ref, o, d):
         ax = paged.sort_axis
         margin = jnp.float32(paged.sort_margin)
         o_ax, d_ax = (o.x, o.y, o.z)[ax], (d.x, d.y, d.z)[ax]
-        words = B._page_prepass(
-            o, d, V3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z), paged, t_min, big_t
+        center_fit = B._center_fit_of(paged)
+        bwords, _splits = B._page_prepass_bucketed(
+            o, d, V3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z), paged, t_min, big_t,
+            fwd=d_ax >= 0,
         )
         sent = jnp.int32(n_pages)
         w_n = paged.mask_words
+        nw = len(bwords) * w_n
         rows = o.x.shape[0]
         key_rows = []
         for s in range(rows):
@@ -157,31 +160,40 @@ def traversal_keys(variant, paged, tiles_ref, o, d):
             fwd_r = sl(d_ax) >= 0
             inv_ax_r = jnp.float32(1.0) / sl(d_ax)
             o_ax_r = sl(o_ax)
-            words_r = [sl(w) for w in words]
-            carry0 = tuple(words_r) + (sl(best_key0),)
+            flat0 = [sl(w) for wb in bwords for w in wb]
+            carry0 = tuple(flat0) + (sl(best_key0),)
 
             def cond(carry):
                 w_any = carry[0]
-                for w in carry[1:w_n]:
+                for w in carry[1:nw]:
                     w_any = w_any | w
                 return jnp.max(w_any) > 0
 
             def body(carry):
-                ws = list(carry[:w_n])
-                bk = carry[w_n]
-                p_l, ws = B._pop_dir(ws, sent, fwd_r)
-                page_key, c_ax = B._gather_round(
+                bws = [
+                    list(carry[b * w_n : (b + 1) * w_n])
+                    for b in range(len(bwords))
+                ]
+                bk = carry[nw]
+                p_l, bws, selb = B._pop_bucketed(bws, sent, fwd_r, n_pages)
+                page_key, c_ax, dev = B._gather_round(
                     g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, None, None,
-                    centers=B._page_centers(paged),
+                    center_fit=center_fit,
                 )
                 nk = jnp.minimum(bk, page_key)
-                t_entry = (c_ax - o_ax_r) * inv_ax_r - margin * jnp.abs(inv_ax_r)
+                t_entry = (c_ax - o_ax_r) * inv_ax_r - (margin + dev) * jnp.abs(
+                    inv_ax_r
+                )
                 stop = t_entry > B._key_upper_t(nk)
-                ws = [jnp.where(stop, 0, w) for w in ws]
-                return tuple(ws) + (nk,)
+                for b in range(len(bws)):
+                    bws[b] = [
+                        jnp.where(stop & selb[b], 0, w) for w in bws[b]
+                    ]
+                flat = [w for wb in bws for w in wb]
+                return tuple(flat) + (nk,)
 
             out = lax.while_loop(cond, body, carry0)
-            key_rows.append(out[w_n])
+            key_rows.append(out[nw])
         return jnp.concatenate(key_rows, axis=0)
 
     # dense: the shipping cursor loop
