@@ -900,16 +900,19 @@ def _lane_arg(a, s):
     return a[s : s + 1, :]
 
 
-# sublane rows fused per gather round (see _traverse_gather).  Default 1:
-# the round-4 TPU sweep (tools/perf/gather_sweep.json) showed the
-# row-grouped variant MISCOMPILES on real TPU — G=4 renders the 10k-tri
-# bench image wrong (mean 167 vs 254) at 0.1 Mrays/s while G=1 is correct
-# at 3.1, and G>=8 fails to compile (VMEM) — even though the grouped path
-# is bit-identical to the dense sweep under XLA:CPU (tests/test_fuzz.py).
-# The (rows, 128) -> (rows/G, G*128) in-kernel reshape is the suspect
-# Mosaic-level relayout.  The grouped code stays env-gated for diagnosis:
-# PATHTRACER_BVH_GROUP_ROWS=4.
-GROUP_ROWS = int(os.environ.get("PATHTRACER_BVH_GROUP_ROWS", "1"))
+# sublane rows fused per gather round (see _traverse_gather).  FIXED at
+# 1: the in-kernel (rows, 128) -> (rows/G, G*128) relayout the grouped
+# variant needs is broken in Mosaic — the minimal reproducer
+# (tools/repro/mosaic_reshape_repro.py) fails to COMPILE on every stage,
+# including a bare reshape round-trip ("Invalid input layout" on
+# vector.broadcast (1,128)->(G,128)), and the framework kernel that did
+# compile rendered the 10k-tri bench image wrong (mean 167 vs 254,
+# tools/perf/gather_sweep.json).  The former PATHTRACER_BVH_GROUP_ROWS
+# env gate is removed: a wrong-image knob with a compiler-level defect
+# is a trap, not a tuning surface.  Row amortization is still available
+# the safe way — WIDE LANE ROWS reshaped OUTSIDE the kernel (render
+# driver; measured -13% in round 3, PERF.md).
+GROUP_ROWS = 1
 
 # page pops (independent gather matmuls) per while-loop iteration.  2
 # halves the serial trip count and lets the two gathers overlap in the

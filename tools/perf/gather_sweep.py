@@ -1,11 +1,17 @@
-"""Sweep the gather-walk knobs on real TPU: GROUP_ROWS x ROUND_POPS.
+"""Sweep the gather-walk ROUND_POPS knob on real TPU.
+
+HISTORICAL NOTE: this sweep originally also varied GROUP_ROWS; that
+knob is GONE — the in-kernel row-group relayout is a confirmed Mosaic
+compile defect (tools/repro/mosaic_reshape_repro.py; wrong-image data
+preserved in tools/perf/gather_sweep.json).  The GROUP_ROWS half of a
+"GxP" config is now ignored with a warning.
 
 Runs tools/perf/bvh_bench.py --render-only (10k-triangle UV sphere,
 512x512, 1 pass, depth 8) in a fresh subprocess per config — the knobs
 are read at bvh import — and records Mrays/s per config.
 
 Usage: python tools/perf/gather_sweep.py [configs...]
-  configs default: 4x1 4x2 8x1 8x2 1x1   (GROUP_ROWSxROUND_POPS)
+  configs default: 1x1 1x2   (GROUP_ROWSxROUND_POPS; G must be 1)
 Writes tools/perf/gather_sweep.json.
 """
 
@@ -23,13 +29,15 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 
 
 def main() -> int:
-    configs = sys.argv[1:] or ["4x1", "4x2", "8x1", "8x2", "1x1"]
+    configs = sys.argv[1:] or ["1x1", "1x2"]
     rows = []
     for cfg in configs:
         g, p = cfg.split("x")
+        if g != "1":
+            print(f"{cfg}: GROUP_ROWS is fixed at 1 (Mosaic defect, see "
+                  f"tools/repro/mosaic_reshape_repro.py) — running as 1x{p}")
         env = dict(
             os.environ,
-            PATHTRACER_BVH_GROUP_ROWS=g,
             PATHTRACER_BVH_ROUND_POPS=p,
         )
         t0 = time.perf_counter()
