@@ -616,6 +616,51 @@ def build_gather_table(tiles: np.ndarray, paged: "PagedBvh") -> np.ndarray:
     return g
 
 
+def pack_gather_limbs(g: np.ndarray) -> np.ndarray:
+    """f32 gather table (R, P_pad) -> limb-stacked bf16 (3*R, P_pad).
+
+    Host-side (pack-time) version of the exact 3-limb split the kernel
+    used to compute on the fly (``_bf16_limbs``): hi+mid+lo == g exactly
+    (8+8+8 mantissa bits cover f32's 24; each residual subtraction is
+    exact in f32).  Precomputing at pack time halves the table's VMEM
+    footprint — the kernel previously held the f32 table AND its three
+    in-kernel limb copies live at once — and lifts the Pallas page
+    ceiling accordingly (pallas_supported).  Limb l occupies rows
+    [l*R, (l+1)*R)."""
+    import ml_dtypes  # jax hard dependency; numpy-native bf16 casts
+
+    bf16 = ml_dtypes.bfloat16
+    g = np.asarray(g, np.float32)
+    hi = g.astype(bf16)
+    r1 = g - hi.astype(np.float32)
+    mid = r1.astype(bf16)
+    lo = (r1 - mid.astype(np.float32)).astype(bf16)
+    return np.concatenate([hi, mid, lo], axis=0)
+
+
+def _limb_views(stacked):
+    """Slice a limb-stacked (3*R, P_pad) bf16 array/ref back into the
+    (hi, mid, lo) tuple the gather rounds consume."""
+    r = stacked.shape[0] // 3
+    return tuple(stacked[l * r : (l + 1) * r, :] for l in range(3))
+
+
+def _limb_blocks(stacked, row_lo, row_hi, limbs=3):
+    """Load rows [row_lo, row_hi) of each bf16 limb from the stacked
+    (3*R, P_pad) table (array or kernel ref).
+
+    Called AT THE USE SITE — inside the walk's while body for the
+    per-round test blocks, in the per-row resolve tail for the resolve
+    blocks — so each load's liveness is one consumer.  Prefetching all
+    limbs as whole-table values (the first attempt) kept ~80 MB of
+    stack values live across the three walks and failed Mosaic's
+    scoped-vmem allocation outright."""
+    r = stacked.shape[0] // 3
+    return tuple(
+        stacked[l * r + row_lo : l * r + row_hi, :] for l in range(limbs)
+    )
+
+
 def _page_centers(paged: "PagedBvh") -> tuple:
     """Static per-page sort-axis bbox centers, f32-rounded exactly as
     the (removed) gather-table center block was."""
@@ -1353,10 +1398,15 @@ def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
 # _winner_math recomputes the exact t.
 
 
+def gather_enabled() -> bool:
+    """Env kill-switch for the per-lane gather walk (diagnostics)."""
+    return os.environ.get("PATHTRACER_BVH_GATHER", "") not in (
+        "0", "false", "off",
+    )
+
+
 def _use_gather(pack) -> bool:
-    if os.environ.get("PATHTRACER_BVH_GATHER", "") in ("0", "false", "off"):
-        return False
-    return _is_ref(pack.page_gather)
+    return gather_enabled() and _is_ref(pack.page_gather)
 
 
 # gathered block index by page-tile column (see build_gather_table)
@@ -1476,14 +1526,17 @@ def _traverse_gather(
     sent = jnp.int32(n_pages)
     smooth = paged.any_smooth
 
-    g_limbs_all = _bf16_limbs(pack.page_gather[...])
-    p_pad = g_limbs_all[0].shape[1]
+    gt = pack.page_gather  # limb-stacked bf16 (3*R, P_pad), ref or array
+    r_full = gt.shape[0] // 3
+    p_pad = gt.shape[1]
     # the obj column (13) is the LAST test block and is only read by the
     # exclude-object compare: without an exclusion the per-round gather
     # statically drops it (13 -> 12 blocks of MXU work per round)
     a_test = _A_TEST if exclude_obj is not None else _A_TEST - 1
-    g_limbs = tuple(l[: a_test * PAGE_TRIS, :] for l in g_limbs_all[:TEST_LIMBS])
-    g_limbs_res = tuple(l[_A_TEST * PAGE_TRIS :, :] for l in g_limbs_all)
+    load_test = lambda: _limb_blocks(  # noqa: E731
+        gt, 0, a_test * PAGE_TRIS, TEST_LIMBS
+    )
+    load_res = lambda: _limb_blocks(gt, _A_TEST * PAGE_TRIS, r_full)  # noqa: E731
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
     center_fit = _center_fit_of(paged)
@@ -1568,8 +1621,8 @@ def _traverse_gather(
             rounds = []
             for p_l, selb in pops:
                 page_key, c_ax, dev = _gather_round(
-                    g_limbs, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r, excl_r,
-                    center_fit=center_fit,
+                    load_test(), p_l, p_pad, o_r, d_r, t_min, bk, t_max_r,
+                    excl_r, center_fit=center_fit,
                 )
                 rounds.append((p_l, selb, page_key, c_ax, dev))
             new_key = bk
@@ -1606,7 +1659,7 @@ def _traverse_gather(
         # ---- winner resolve: one gather against the winning page over
         # the resolve-only blocks, then a slot one-hot extraction
         iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
-        g_win = _gather_dot(g_limbs_res, iota_p == bp_r)
+        g_win = _gather_dot(load_res(), iota_p == bp_r)
         slot_r = bk_r & jnp.int32(_KEY_SLOT_MASK)
         k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
         s_onehot = (k_iota == slot_r).astype(jnp.float32)
@@ -1640,11 +1693,11 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     sent = jnp.int32(paged.n_pages)
     w_n = paged.mask_words
 
-    g_limbs_all = _bf16_limbs(pack.page_gather[...])
-    p_pad = g_limbs_all[0].shape[1]
+    gt = pack.page_gather  # limb-stacked bf16 (3*R, P_pad), ref or array
+    p_pad = gt.shape[1]
     # shadow rays never exclude an object: drop the obj test block
-    g_limbs = tuple(
-        l[: (_A_TEST - 1) * PAGE_TRIS, :] for l in g_limbs_all[:TEST_LIMBS]
+    load_test = lambda: _limb_blocks(  # noqa: E731
+        gt, 0, (_A_TEST - 1) * PAGE_TRIS, TEST_LIMBS
     )
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
@@ -1699,7 +1752,8 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
             for _ in range(ROUND_POPS):
                 p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
                 page_key, _c_ax, _dev = _gather_round(
-                    g_limbs, p_l, p_pad, o_r, d_r, t_min, key0_r, t_max_r, None
+                    load_test(), p_l, p_pad, o_r, d_r, t_min, key0_r,
+                    t_max_r, None,
                 )
                 blk = blk | (page_key < key0_r).astype(jnp.int32)
             dead = blk != 0

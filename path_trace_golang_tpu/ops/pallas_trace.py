@@ -43,6 +43,52 @@ __all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK
 BLOCK_ROWS = 32
 # BVH tables at or below this triangle count ride in SMEM (see kernels)
 SMEM_TRI_MAX = 2048
+# VMEM bytes budgeted to the limb-stacked bf16 gather table.  The walk
+# holds one round's test blocks + the table itself live; Mosaic's
+# scoped-vmem default (16 MB) is raised via vmem_limit_bytes on the
+# mesh kernels (VMEM_LIMIT) — measured: the 40k-tri/384-page kernel
+# wants 22 MB of scoped stack.  16 MB of table admits ~940 pages
+# (~120k triangles) for plain meshes (A=19), ~780 pages (~100k) for
+# smooth ones (A=23), with ~50 MB of scoped headroom left under
+# VMEM_LIMIT for the per-round loads at that scale.
+GATHER_VMEM_BUDGET = 16 << 20
+# Scoped-vmem ceiling requested for mesh-gather kernels (bytes).  v5e
+# has 128 MB of VMEM per core; the Mosaic default budget is 16 MB to
+# leave room for pipeline buffers — this kernel uses unblocked inputs
+# and owns the core, so raising it is safe.
+VMEM_LIMIT = 100 << 20
+
+
+def _gather_mode(pack: ScenePack) -> bool:
+    """Static: this scene's mesh routes to the per-lane gather walk, so
+    the kernel reads page_gather and never touches tri / bvh_bounds /
+    page_tiles (bvh.traverse_triangles_paged dispatch)."""
+    from .bvh import use_dynamic_walk, gather_enabled
+
+    return pack.n_triangles > 0 and use_dynamic_walk(pack.n_triangles) and (
+        gather_enabled()
+    )
+
+
+def _compiler_params(pack: ScenePack):
+    """Raise the Mosaic scoped-vmem ceiling for mesh-gather kernels
+    (their per-round limb loads exceed the 16 MB default at ~30k+
+    triangles — see VMEM_LIMIT); leave non-mesh kernels at the default
+    scheduling regime."""
+    if _gather_mode(pack):
+        return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    return None
+
+
+def _mesh_tables(pack: ScenePack):
+    """The (tri, bvh_bounds, page_tiles) arrays to ship into the kernel:
+    the real tables, or 1-element dummies when the gather walk is the
+    statically chosen traversal and never reads them — page_tiles alone
+    costs P x 12 KB of VMEM that pure dead weight would otherwise pin."""
+    if _gather_mode(pack):
+        z = jnp.zeros((1, 1), jnp.float32)
+        return z, z, jnp.zeros((1, 1, 1), jnp.float32)
+    return pack.tri, pack.bvh_bounds, pack.page_tiles
 
 
 def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
@@ -68,12 +114,21 @@ def pallas_supported(shape, pack: ScenePack, cfg, active) -> bool:
     # array); integrator.trace pads row counts to a multiple of 8
     if br % 8 != 0 and br != shape[0]:
         return False
-    # VMEM budget for the paged triangle table: lane padding makes a
-    # (P*128, 24) f32 table cost P*64KB of VMEM, so ~96 pages (~12k
-    # triangles) is the comfortable ceiling next to the lane state.
+    # VMEM budget for the BVH gather table: the limb-stacked bf16 table
+    # (soa.page_gather, built by bvh.pack_gather_limbs) is the only
+    # mesh array the gather walk reads — budget it directly against
+    # ~16 MB/core VMEM, leaving headroom for lane state, the one-hot
+    # matmul operands, and Mosaic spills.  Round 3's ceiling was 96
+    # pages (~12k triangles) with the f32 table + in-kernel limb copies
+    # live at once; precomputed limbs + dummied-out dead tables
+    # (page_tiles/tri, unused by the gather walk) lift it ~4x.
     # Larger meshes fall back to the XLA path (ROADMAP: HBM-resident
     # pages DMA'd into a VMEM scratch remove this ceiling).
-    if pack.n_triangles > 96 * 128:
+    if _gather_mode(pack):
+        gt = pack.page_gather
+        if gt.size * gt.dtype.itemsize > GATHER_VMEM_BUDGET:
+            return False
+    elif pack.n_triangles > 96 * 128:
         return False
     if jax.default_backend() not in ("tpu",):  # includes axon-canonical tpu
         return False
@@ -115,6 +170,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg, active=No
     n_blocks = rows // br
 
     trace_fn = integ._trace_cpu if cfg.contract == "cpu" else integ._trace_gpu
+    tri_in, bvh_in, ptile_in = _mesh_tables(pack)
 
     def kernel(
         mat_ref,
@@ -182,6 +238,7 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg, active=No
     rx, ry, rz, st_out, segs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=_compiler_params(pack),
         in_specs=[
             smem(),  # mat
             smem(),  # obj
@@ -217,9 +274,9 @@ def trace_grid_pallas(orig: V3, dirv: V3, state, pack: ScenePack, cfg, active=No
         pack.cam,
         pack.sky,
         pack.fog,
-        pack.tri,
-        pack.bvh_bounds,
-        pack.page_tiles,
+        tri_in,
+        bvh_in,
+        ptile_in,
         pack.page_gather,
         orig.x,
         orig.y,
@@ -270,6 +327,7 @@ def render_pass_pallas(
     n_blocks = rows // br
 
     trace_core = integ._trace_cpu if tcfg.contract == "cpu" else integ._trace_gpu
+    tri_in, bvh_in, ptile_in = _mesh_tables(pack)
 
     def kernel(
         mat_ref,
@@ -344,6 +402,7 @@ def render_pass_pallas(
     cx, cy, cz, segs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=_compiler_params(pack),
         in_specs=[
             smem(),  # mat
             smem(),  # obj
@@ -374,9 +433,9 @@ def render_pass_pallas(
         pack.cam,
         pack.sky,
         pack.fog,
-        pack.tri,
-        pack.bvh_bounds,
-        pack.page_tiles,
+        tri_in,
+        bvh_in,
+        ptile_in,
         pack.page_gather,
         jnp.asarray([frame_seed]).astype(jnp.uint32),
         px,

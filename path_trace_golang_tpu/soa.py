@@ -128,10 +128,12 @@ class ScenePack:
     # precomputed plane/barycentric-dual constants on lanes; page bboxes
     # are static scalar immediates on ``paged`` (PagedBvh.page_bounds).
     page_tiles: Optional[jax.Array] = None  # f32[max(P,1), 128, 32]
-    # per-attr transposed gather table (bvh.build_gather_table): row
-    # a*128+j = attr a of slot j, pages on lanes — the in-kernel per-lane
-    # traversal turns one dot(page_gather, onehot) into an MXU gather
-    page_gather: Optional[jax.Array] = None  # f32[A*128, P_pad]
+    # per-attr transposed gather table (bvh.build_gather_table), stored
+    # as the limb-stacked EXACT bf16 split (bvh.pack_gather_limbs): row
+    # l*(A*128) + a*128 + j = limb l of attr a, slot j, pages on lanes —
+    # the in-kernel per-lane traversal turns dot(limb, onehot) into an
+    # MXU gather; hi+mid+lo reconstructs the f32 table bit-exactly
+    page_gather: Optional[jax.Array] = None  # bf16[3*A*128, P_pad]
     paged: object = dataclasses.field(default=None, metadata=dict(static=True))
     # defocus model (scene camera extension, PHYSICS.md Q4): False =
     # reference's faithful unit-ball bokeh, True = thin-lens disk
@@ -420,13 +422,14 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     bvh_bounds = np.zeros((1, 6), np.float32)
     tri_rows = np.zeros((1, 24), np.float32)
     page_tiles = np.zeros((1, 128, 32), np.float32)
-    page_gather = np.zeros((8, 128), np.float32)
+    page_gather = np.zeros((24, 128), "bfloat16")  # 3 limbs x 8 rows
     if t_count:
         from .ops.bvh import (
             LEAF_SIZE,
             build_bvh,
             build_gather_table,
             build_paged_bvh,
+            pack_gather_limbs,
             use_dynamic_walk,
         )
 
@@ -454,7 +457,12 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 paged, page_tiles, _page_bbox = build_paged_bvh(
                     v0, e1, e2, tri_mat_list, tri_obj, tri_smooth_list, tri_vn
                 )
-                page_gather = build_gather_table(page_tiles, paged)
+                # limb-stacked bf16 (ops/bvh.pack_gather_limbs): the
+                # kernel consumes the exact 3-limb split directly, so
+                # the f32 table never occupies VMEM
+                page_gather = pack_gather_limbs(
+                    build_gather_table(page_tiles, paged)
+                )
                 if len(_BVH_BUILD_CACHE) >= 4:  # tiny LRU: scenes are few
                     _BVH_BUILD_CACHE.pop(next(iter(_BVH_BUILD_CACHE)))
                 _BVH_BUILD_CACHE[key] = (paged, page_tiles, page_gather)

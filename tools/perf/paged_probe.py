@@ -76,7 +76,7 @@ def build_table(n_lat=80, n_lon=64):
     paged, tiles, _bbox = B.build_paged_bvh(
         v0, e1, e2, np.zeros(t, np.int64), np.arange(t), np.zeros(t, bool), None
     )
-    gather = B.build_gather_table(tiles, paged)
+    gather = B.pack_gather_limbs(B.build_gather_table(tiles, paged))
     return paged, jnp.asarray(tiles), jnp.asarray(gather)
 
 
@@ -137,7 +137,7 @@ def traversal_keys(variant, paged, tiles_ref, o, d):
         # per-lane gather loop (keys only), mirroring _traverse_gather:
         # bf16-limb one-hot matmul, direction-aware pop, exact early-stop
         g_limbs = tuple(
-            l[: B._A_TEST * B.PAGE_TRIS, :] for l in B._bf16_limbs(B_gather[...])
+            l[: B._A_TEST * B.PAGE_TRIS, :] for l in B._limb_views(B_gather)
         )
         p_pad = g_limbs[0].shape[1]
         ax = paged.sort_axis
