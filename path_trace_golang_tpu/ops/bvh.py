@@ -792,7 +792,7 @@ def _page_prepass(o, d, inv, paged: PagedBvh, t_min, best_t, t_max=None, skip=No
 # Miscassification is impossible by construction (same t0 and splits
 # decide membership and the kill rule); wrong SPLITS (NaN/inf corner
 # cases) only push pages toward bucket 0, which is always conservative.
-N_BUCKETS = 4
+N_BUCKETS = max(1, min(8, int(os.environ.get("PATHTRACER_BVH_BUCKETS", "4"))))
 
 
 def _page_prepass_bucketed(
