@@ -645,22 +645,6 @@ def _limb_views(stacked):
     return tuple(stacked[l * r : (l + 1) * r, :] for l in range(3))
 
 
-def _limb_blocks(stacked, row_lo, row_hi, limbs=3):
-    """Load rows [row_lo, row_hi) of each bf16 limb from the stacked
-    (3*R, P_pad) table (array or kernel ref).
-
-    Called AT THE USE SITE — inside the walk's while body for the
-    per-round test blocks, in the per-row resolve tail for the resolve
-    blocks — so each load's liveness is one consumer.  Prefetching all
-    limbs as whole-table values (the first attempt) kept ~80 MB of
-    stack values live across the three walks and failed Mosaic's
-    scoped-vmem allocation outright."""
-    r = stacked.shape[0] // 3
-    return tuple(
-        stacked[l * r + row_lo : l * r + row_hi, :] for l in range(limbs)
-    )
-
-
 def _page_centers(paged: "PagedBvh") -> tuple:
     """Static per-page sort-axis bbox centers, f32-rounded exactly as
     the (removed) gather-table center block was."""
@@ -1438,6 +1422,81 @@ def _gather_dot(limbs, onehot):
     return acc
 
 
+# banked gather opt-in (diagnostics): measured NEGATIVE on real TPU at
+# 40k tris — 2.6 vs 3.6 Mrays/s unbanked, compile 882 vs 224 s (PERF.md
+# round 4).  The per-bank lax.cond rounds don't pay for themselves: a
+# sublane row's 128 pops fan across banks often enough that most rounds
+# touch every bank anyway, and the cond-per-bank-per-round blows up the
+# Mosaic program.  Kept opt-in for diagnosis; results are exact either
+# way (a skipped bank's one-hot block is all-false -> contributes zero).
+def _bank_enabled() -> bool:
+    return os.environ.get("PATHTRACER_BVH_BANKED", "") in ("1", "true", "on")
+
+
+def _gather_sel(gt, row_lo, row_hi, limbs_n, n_pages, p_l, guard=False):
+    """Exact one-hot gather of each lane's page from the limb-stacked
+    table, with optional (opt-in, see _bank_enabled) 128-page BANK
+    skipping.
+
+    The plain form contracts over ALL p_pad pages — O(P) MACs per lane
+    per round, the measured scaling wall (tools/perf/tri_scaling.json:
+    9.5 → 3.6 → 1.5 Mrays/s at 10k/40k/100k triangles).  The banked
+    form gathers each 128-column bank under a scalar ``lax.cond`` so
+    untouched banks skip both the limb LOADS and the MXU matmuls — but
+    it measured slower end-to-end (see _bank_enabled), so it ships
+    default-off.
+
+    ``gt``: limb-stacked bf16 (3R, p_pad) table (ref or array);
+    ``[row_lo, row_hi)`` selects the attr-block rows; ``limbs_n`` how
+    many limbs to gather (TEST_LIMBS for selection, 3 for the exact
+    resolve); ``p_l`` (1, LANE) i32 per-lane page (sentinel/−1 lanes
+    gather zeros).  ``guard`` adds an any-lane-active cond on the
+    whole gather (the winner RESOLVE: a row whose lanes all missed has
+    every page −1, and skipping its loads+matmuls is exact — measured
+    neutral-positive at 10k tris); the per-round TEST gather leaves it
+    off — the while cond already guarantees a live lane.  Returns
+    (row_hi-row_lo, LANE) f32."""
+    r = gt.shape[0] // 3
+    p_pad = gt.shape[1]
+    rows = row_hi - row_lo
+    lane = p_l.shape[1]
+    if p_pad <= 128 or not _bank_enabled():
+
+        def take_all():
+            limbs = tuple(
+                gt[l * r + row_lo : l * r + row_hi, :] for l in range(limbs_n)
+            )
+            iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+            return _gather_dot(limbs, iota_p == p_l)
+
+        if guard:
+            live = (p_l >= 0) & (p_l < n_pages)
+            return lax.cond(
+                jnp.any(live),
+                take_all,
+                lambda: jnp.zeros((rows, lane), jnp.float32),
+            )
+        return take_all()
+    iota_b = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    acc = None
+    for lo in range(0, p_pad, 128):
+        in_b = (p_l >= lo) & (p_l < min(lo + 128, n_pages))
+
+        def take(lo=lo):
+            oh = (iota_b + lo) == p_l
+            limbs = tuple(
+                gt[l * r + row_lo : l * r + row_hi, lo : lo + 128]
+                for l in range(limbs_n)
+            )
+            return _gather_dot(limbs, oh)
+
+        g_b = lax.cond(
+            jnp.any(in_b), take, lambda: jnp.zeros((rows, lane), jnp.float32)
+        )
+        acc = g_b if acc is None else acc + g_b
+    return acc
+
+
 def _center_fit_of(paged: "PagedBvh"):
     """The build's piecewise-linear center fit, or a one-segment
     conservative fallback for hand-built PagedBvh instances."""
@@ -1461,7 +1520,7 @@ def _clear_bit(words_r, p_l):
 
 
 def _gather_round(
-    g_limbs, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r,
+    gather_args, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r,
     center_fit=None,
 ):
     """One gather round for one sublane row: returns the per-pair winner
@@ -1476,10 +1535,9 @@ def _gather_round(
     when not provided (the any-hit walk never stops on centers).  The
     valid column (15) is substituted with a constant: invalid slots are
     all-zero rows, already rejected by the |denom| guard in _mt_key
-    (see _G_TEST_COLS)."""
-    iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
-    onehot = iota_p == p_l
-    g = _gather_dot(g_limbs, onehot)  # (A_TEST*PAGE_TRIS, LANE)
+    (see _G_TEST_COLS).  ``gather_args`` = (gt, row_lo, row_hi,
+    limbs_n, n_pages) for the banked selection (_gather_sel)."""
+    g = _gather_sel(*gather_args, p_l)  # (A_TEST*PAGE_TRIS, LANE)
 
     blk = lambda c: (  # noqa: E731
         _F(1.0)
@@ -1533,10 +1591,8 @@ def _traverse_gather(
     # exclude-object compare: without an exclusion the per-round gather
     # statically drops it (13 -> 12 blocks of MXU work per round)
     a_test = _A_TEST if exclude_obj is not None else _A_TEST - 1
-    load_test = lambda: _limb_blocks(  # noqa: E731
-        gt, 0, a_test * PAGE_TRIS, TEST_LIMBS
-    )
-    load_res = lambda: _limb_blocks(gt, _A_TEST * PAGE_TRIS, r_full)  # noqa: E731
+    test_args = (gt, 0, a_test * PAGE_TRIS, TEST_LIMBS, n_pages)
+    res_args = (gt, _A_TEST * PAGE_TRIS, r_full, 3, n_pages)
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
     center_fit = _center_fit_of(paged)
@@ -1621,7 +1677,7 @@ def _traverse_gather(
             rounds = []
             for p_l, selb in pops:
                 page_key, c_ax, dev = _gather_round(
-                    load_test(), p_l, p_pad, o_r, d_r, t_min, bk, t_max_r,
+                    test_args, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r,
                     excl_r, center_fit=center_fit,
                 )
                 rounds.append((p_l, selb, page_key, c_ax, dev))
@@ -1658,8 +1714,9 @@ def _traverse_gather(
 
         # ---- winner resolve: one gather against the winning page over
         # the resolve-only blocks, then a slot one-hot extraction
-        iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
-        g_win = _gather_dot(load_res(), iota_p == bp_r)
+        # (no-hit lanes have bp_r == -1 and gather exact zeros; all-miss
+        # rows skip the resolve loads+matmuls entirely via guard)
+        g_win = _gather_sel(*res_args, bp_r, guard=True)
         slot_r = bk_r & jnp.int32(_KEY_SLOT_MASK)
         k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
         s_onehot = (k_iota == slot_r).astype(jnp.float32)
@@ -1696,9 +1753,7 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     gt = pack.page_gather  # limb-stacked bf16 (3*R, P_pad), ref or array
     p_pad = gt.shape[1]
     # shadow rays never exclude an object: drop the obj test block
-    load_test = lambda: _limb_blocks(  # noqa: E731
-        gt, 0, (_A_TEST - 1) * PAGE_TRIS, TEST_LIMBS
-    )
+    test_args = (gt, 0, (_A_TEST - 1) * PAGE_TRIS, TEST_LIMBS, paged.n_pages)
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
     # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape
@@ -1752,7 +1807,7 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
             for _ in range(ROUND_POPS):
                 p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
                 page_key, _c_ax, _dev = _gather_round(
-                    load_test(), p_l, p_pad, o_r, d_r, t_min, key0_r,
+                    test_args, p_l, p_pad, o_r, d_r, t_min, key0_r,
                     t_max_r, None,
                 )
                 blk = blk | (page_key < key0_r).astype(jnp.int32)

@@ -459,10 +459,16 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 )
                 # limb-stacked bf16 (ops/bvh.pack_gather_limbs): the
                 # kernel consumes the exact 3-limb split directly, so
-                # the f32 table never occupies VMEM
-                page_gather = pack_gather_limbs(
-                    build_gather_table(page_tiles, paged)
+                # the f32 table never occupies VMEM.  Cache the tables
+                # as DEVICE arrays: re-rendering the same mesh then
+                # reuses the resident buffers instead of re-uploading
+                # megabytes over the (remote) device link per render —
+                # measured 0.32 s of fixed per-render cost at 10k tris
+                # on the tunnel (PERF.md round 4).
+                page_gather = jax.numpy.asarray(
+                    pack_gather_limbs(build_gather_table(page_tiles, paged))
                 )
+                page_tiles = jax.numpy.asarray(page_tiles)
                 if len(_BVH_BUILD_CACHE) >= 4:  # tiny LRU: scenes are few
                     _BVH_BUILD_CACHE.pop(next(iter(_BVH_BUILD_CACHE)))
                 _BVH_BUILD_CACHE[key] = (paged, page_tiles, page_gather)

@@ -677,3 +677,144 @@ def test_walk_skip_matches_on_live_lanes():
                 np.testing.assert_array_equal(
                     np.asarray(pa)[live], np.asarray(pb)[live], err_msg=k
                 )
+
+def test_gather_sel_banked_exact():
+    """_gather_sel's 128-page bank skipping must be EXACTLY the plain
+    full-width one-hot gather: a skipped bank's one-hot block is
+    all-false so its contribution is identically zero, and active banks
+    reconstruct the same f32 values from the same bf16 limbs (no
+    reassociation: exactly one bank contributes per lane)."""
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh
+
+    rng = np.random.default_rng(41)
+    n_pages, p_pad, r = 300, 384, 64  # 3 banks, last one ragged
+    g = (rng.standard_normal((r, p_pad)) * 100).astype(np.float32)
+    g[:, n_pages:] = 0.0
+    gt = jnp.asarray(bvh.pack_gather_limbs(g))
+
+    # per-lane pages: in-range, sentinel (== n_pages), and -1 (no hit)
+    p_np = rng.integers(0, n_pages, size=(1, 128)).astype(np.int32)
+    p_np[0, 3] = n_pages
+    p_np[0, 77] = -1
+    p_l = jnp.asarray(p_np)
+
+    # banked variant is opt-in (measured negative end-to-end, PERF.md r4)
+    import os
+
+    os.environ["PATHTRACER_BVH_BANKED"] = "1"
+    try:
+        banked = jax.jit(
+            lambda p: bvh._gather_sel(gt, 0, r, 3, n_pages, p)
+        )(p_l)
+    finally:
+        del os.environ["PATHTRACER_BVH_BANKED"]
+
+    # plain full-width reference (default)
+    plain = jax.jit(
+        lambda p: bvh._gather_sel(gt, 0, r, 3, n_pages, p)
+    )(p_l)
+
+    np.testing.assert_array_equal(np.asarray(banked), np.asarray(plain))
+    # and both equal the direct f32 selection for in-range lanes
+    direct = g[:, np.clip(p_np[0], 0, p_pad - 1)]
+    direct[:, p_np[0] == n_pages] = 0.0
+    direct[:, p_np[0] < 0] = 0.0
+    np.testing.assert_array_equal(np.asarray(banked), direct)
+
+
+def test_gather_walk_multibank_bitidentical_to_dense():
+    """End-to-end gather==dense bit-identity on a mesh WIDE enough to
+    engage bank skipping (>128 pages -> p_pad 256): the banked per-round
+    test gather and banked winner resolve must not change any winner
+    field vs the dense paged sweep."""
+    import os
+
+    import jax
+
+    from path_trace_golang_tpu.ops import bvh
+
+    # 2*91*91 = 16,562 triangles -> 130 pages -> p_pad 256 (2 banks)
+    n_lat = n_lon = 91
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append(
+                [np.sin(th) * np.cos(ph), 1.0 + np.cos(th), np.sin(th) * np.sin(ph)]
+            )
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            dd = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, dd, c])
+    sc = S.Scene(
+        camera=base_camera(),
+        sky=solid_sky(),
+        materials=[mat("m", albedo=(0.5, 0.5, 0.5))],
+        objects=[
+            S.Object(
+                id="s", type="mesh", material_id="m",
+                mesh={"vertices": verts, "faces": faces},
+            )
+        ],
+    )
+    pack = pack_scene(sc)
+    assert pack.paged is not None and pack.paged.n_pages > 128, pack.paged.n_pages
+    assert pack.page_gather.shape[1] >= 256
+
+    rng = np.random.default_rng(53)
+    shape = (2, 128)
+    n = shape[0] * shape[1]
+    o_np = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    d_np = rng.normal(size=(n, 3)).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(o_np[:, k].reshape(shape)) for k in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, k].reshape(shape)) for k in range(3)))
+    fz, iz = jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int32)
+    state = dict(
+        best_t=fz + 1e20, best_m=iz - 1, best_type=iz, best_mat=iz,
+        best_mtyp=iz, b_rough=fz, b_ior=fz, b_smooth=fz, b_refl=fz,
+        b_abss=fz, b_albedo=V3(fz, fz, fz), b_emit=V3(fz, fz, fz),
+        b_absorb=V3(fz, fz, fz), b_tint=V3(fz, fz, fz), nx=fz, ny=fz, nz=fz,
+    )
+
+    import os
+
+    st_d = jax.jit(
+        lambda o, d: bvh.traverse_triangles_paged(o, d, pack, 1e-3, dict(state))[0]
+    )(o, d)
+    occ_d = jax.jit(
+        lambda o, d: bvh.occluded_triangles_paged(o, d, pack, 1e-3, 8.0, fz > 1)
+    )(o, d)
+    assert bool(np.asarray(st_d["best_t"] < 1e19).any())
+    assert bool(np.asarray(occ_d).any())
+
+    for banked in ("0", "1"):  # default full-width AND opt-in banked
+        os.environ["PATHTRACER_BVH_BANKED"] = banked
+        try:
+            st_g = jax.jit(
+                lambda o, d: bvh._traverse_gather(
+                    o, d, pack, 1e-3, dict(state), None, None, False
+                )[0]
+            )(o, d)
+            occ_g = jax.jit(
+                lambda o, d: bvh._occluded_gather(o, d, pack, 1e-3, 8.0, fz > 1)
+            )(o, d)
+        finally:
+            del os.environ["PATHTRACER_BVH_BANKED"]
+        for k in st_d:
+            a, b = st_d[k], st_g[k]
+            parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
+            for pa, pb in parts:
+                np.testing.assert_array_equal(
+                    np.asarray(pa), np.asarray(pb), err_msg=f"{k} banked={banked}"
+                )
+        np.testing.assert_array_equal(
+            np.asarray(occ_d), np.asarray(occ_g), err_msg=f"occ banked={banked}"
+        )
