@@ -500,6 +500,18 @@ class Renderer:
 
     def _render(self, sc, cfg, contract, progress, cancel) -> np.ndarray:
         t0 = time.perf_counter()
+        # PATHTRACER_TIME_PHASES=1: print a per-render phase-time table
+        # (diagnostics; inserts device syncs at phase boundaries, so the
+        # totals it reports are slightly pessimistic vs a normal render)
+        _tp = os.environ.get("PATHTRACER_TIME_PHASES", "") in ("1", "true", "on")
+        _marks: list = []
+
+        def _mark(name, sync=None):
+            if _tp:
+                if sync is not None:
+                    jax.block_until_ready(sync)
+                _marks.append((name, time.perf_counter()))
+
         w, h = cfg.width, cfg.height
         n = w * h
         lane_cap = max_chunk_lanes(sc)
@@ -514,9 +526,11 @@ class Renderer:
         sync_each_chunk = lane_cap < (1 << 62)
 
         pack = pack_scene(sc, w, h)
+        _mark("pack_scene")
         tcfg = trace_config_for_scene(
             pack, sc, cfg.max_depth, contract, faithful_fog=self.faithful_fog
         )
+        _mark("trace_config")
         has_aperture = sc.camera.aperture > 0
 
         if contract == BACKEND_GPU:
@@ -556,6 +570,7 @@ class Renderer:
                 start_pass = ck.passes
         if accum is None:
             accum = jnp.zeros((n_pad, 3), dtype=jnp.float32)
+        _mark("accum_init", sync=accum)
 
         metrics = metrics_mod.MetricsLog(sink=self.metrics_sink)
         nonfinite = 0
@@ -598,6 +613,23 @@ class Renderer:
             if progress is not None or cancel is not None or self.checkpoint_path:
                 window = min(window, update_every)
 
+        # Surveillance laziness: the per-interval nonfinite count and
+        # segment total each cost a BLOCKING scalar readback (a full
+        # device-link round-trip — ~0.1 s of the measured 0.32 s fixed
+        # per-render cost on the tunnel, PERF.md round 4).  When nothing
+        # observes intervals mid-render (no metrics sink/file, no
+        # checkpoint, no progress callback), skip them entirely and fold
+        # the whole surveillance read into ONE batched device_get with
+        # the final image; the failure-detection contract (SURVEY.md §5)
+        # is unchanged — every render still ends with a nonfinite count
+        # in RenderStats and a final MetricsLog record.
+        observed = (
+            metrics.sink is not None
+            or bool(getattr(metrics, "_path", ""))
+            or bool(self.checkpoint_path)
+            or progress is not None
+        )
+
         completed = start_pass
         p = start_pass
         while p < passes:
@@ -624,9 +656,11 @@ class Renderer:
                     jax.block_until_ready(accum)
             p += nw
             completed = p
-            if (p % update_every) < nw or p == passes:
+            _mark(f"pass_window@{p}", sync=accum)
+            if observed and ((p % update_every) < nw or p == passes):
                 nonfinite = int(metrics_mod.nonfinite_count(accum))
                 metrics.interval(p, int(total_segs), nonfinite)
+                _mark(f"interval@{p}")
                 if self.checkpoint_path:
                     ckpt_mod.save_checkpoint(
                         self.checkpoint_path,
@@ -645,12 +679,37 @@ class Renderer:
             if cancel is not None and cancel():
                 break
 
-        img = np.asarray(current_image(accum, max(completed, 1)))
+        if observed:
+            img = np.asarray(current_image(accum, max(completed, 1)))
+            segs_total = int(total_segs)
+        else:
+            # one batched transfer: device_get starts async host copies
+            # for every leaf before blocking, so image + surveillance
+            # scalars ride one link round-trip instead of three
+            img, nf_v, segs_v = jax.device_get(
+                (
+                    current_image(accum, max(completed, 1)),
+                    metrics_mod.nonfinite_count(accum),
+                    total_segs,
+                )
+            )
+            img = np.asarray(img)
+            nonfinite = int(nf_v)
+            segs_total = int(segs_v)
+            metrics.interval(completed, segs_total, nonfinite)
+        _mark("final_fetch")
+        if _tp and _marks:
+            import sys
+
+            prev = t0
+            for name, tm in _marks:
+                print(f"  phase {name:<18} {(tm - prev) * 1e3:8.1f} ms", file=sys.stderr)
+                prev = tm
         wall = time.perf_counter() - t0
         self.stats = RenderStats(
             passes=completed,
             samples_per_pixel=completed * samples,
-            ray_segments=int(total_segs),
+            ray_segments=segs_total,
             wall_seconds=wall,
             nonfinite=nonfinite,
             resumed_from=start_pass,
