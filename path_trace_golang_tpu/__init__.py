@@ -17,6 +17,10 @@ Public facade mirrors ``internal/engine``:
 * ``scene`` subpackage — JSON scene model and IO
 """
 
+from .utils.config import init_compile_cache as _init_compile_cache
+
+_init_compile_cache()  # persistent XLA cache on by default (see docstring)
+
 from .io_png import save_png
 from .render import (
     BACKEND_CPU,

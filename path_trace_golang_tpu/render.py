@@ -67,6 +67,30 @@ _backend = BACKEND_CPU
 FOG_STREAM_XOR = 0x9E3779B9
 
 
+@partial(jax.jit, static_argnums=0)
+def _device_zeros(n_pad: int):
+    """Fresh (n_pad, 3) f32 zeros materialized ON DEVICE.
+
+    Eager ``jnp.zeros`` on the remote (axon) backend builds the array on
+    the host and uploads it — 88-110 ms of the measured fixed per-render
+    cost at 512x512 (PERF.md round 4 phase table).  A jitted constant
+    program writes the zeros device-side: one dispatch, no transfer."""
+    return jnp.zeros((n_pad, 3), dtype=jnp.float32)
+
+
+@partial(jax.jit, donate_argnames=("buf",))
+def _zero_into(buf):
+    """Zero a RECYCLED accumulator in place (donated input: the output
+    reuses the buffer's device allocation — no 3 MB re-allocation)."""
+    return jnp.zeros_like(buf)
+
+
+# finished renders park their (donated-chain) accumulator here, keyed by
+# padded lane count; the next same-shape render re-zeros it in place
+# instead of allocating fresh device zeros (~0.1 s on the tunnel)
+_ACCUM_POOL: dict = {}
+
+
 def max_chunk_lanes(sc: Scene) -> int:
     """Per-dispatch lane cap for this scene.
 
@@ -569,7 +593,8 @@ class Renderer:
                 accum = jnp.asarray(ck.accum)
                 start_pass = ck.passes
         if accum is None:
-            accum = jnp.zeros((n_pad, 3), dtype=jnp.float32)
+            pooled = _ACCUM_POOL.pop(n_pad, None)
+            accum = _zero_into(pooled) if pooled is not None else _device_zeros(n_pad)
         _mark("accum_init", sync=accum)
 
         metrics = metrics_mod.MetricsLog(sink=self.metrics_sink)
@@ -698,6 +723,7 @@ class Renderer:
             segs_total = int(segs_v)
             metrics.interval(completed, segs_total, nonfinite)
         _mark("final_fetch")
+        _ACCUM_POOL[n_pad] = accum  # recycle for the next same-shape render
         if _tp and _marks:
             import sys
 

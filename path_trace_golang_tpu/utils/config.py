@@ -152,3 +152,43 @@ def get_chunk_size(default: int = 1 << 18) -> int:
         except ValueError:
             pass
     return default
+
+
+_compile_cache_armed = False
+
+
+def init_compile_cache() -> None:
+    """Arm jax's persistent compilation cache by default (idempotent).
+
+    Cold-compiling the gpu-contract programs takes minutes on a remote
+    TPU backend; the persistent cache makes every LATER process with
+    unchanged code start in seconds (verified cross-process on axon,
+    PERF.md round 4).  The reference has no analog (GLSL compiles in
+    ms); here it is the difference between an interactive tool and a
+    batch one, so the package arms it at import:
+
+    * ``JAX_COMPILATION_CACHE_DIR`` set -> jax already honors it; noop.
+    * ``PATHTRACER_NO_COMPILE_CACHE=1`` -> leave jax defaults alone.
+    * otherwise -> ``~/.cache/path_trace_golang_tpu/jax`` (created).
+
+    Never raises: failure to arm the cache only costs warmup time.
+    """
+    global _compile_cache_armed
+    if _compile_cache_armed:
+        return
+    _compile_cache_armed = True
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if os.environ.get("PATHTRACER_NO_COMPILE_CACHE", "").lower() in _TRUE:
+        return
+    try:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "path_trace_golang_tpu", "jax"
+        )
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
