@@ -18,9 +18,9 @@ segments (primary + bounces, shadow/NEE rays not counted — conservative).
 
 ``mesh_mrays`` renders the 10,240-triangle UV-sphere scene
 (scene.builtin.bench_mesh — the workload tools/perf/bvh_bench.py has
-tracked since round 3) at 512x512, 1 pass, depth 8 through the paged-BVH
-gather walk, so mesh throughput is a driver-tracked number, not a
-PERF.md-only one.
+tracked since round 3) at 512x512, one full 8-pass window, depth 8
+through the paged-BVH gather walk, so SUSTAINED mesh throughput is a
+driver-tracked number, not a PERF.md-only one.
 
 Diagnostics go to stderr.
 """
@@ -106,8 +106,15 @@ def main() -> int:
     )
 
     # ---- mesh/BVH metric: 10,240-triangle bench scene ------------------
+    # 8 passes = ONE full regeneration window in one dispatch: the
+    # SUSTAINED walk throughput a 256-spp mesh render sees.  A 1-pass
+    # config under-reports by ~25% because the ~0.2 s fixed per-render
+    # cost (dispatch + finalize readback on the remote link) dominates a
+    # 0.55 s pass (PERF.md round 4: 10.5 / 12.9 / 13.7 Mrays/s at
+    # 1/4/8 passes).  First driver-recorded round for this metric, so
+    # the definition is set here once, before any history exists.
     mesh_sc = builtin.bench_mesh()
-    mesh_cfg = pt.RenderConfig(512, 512, 1, 8)
+    mesh_cfg = pt.RenderConfig(512, 512, window, 8)
     t0 = time.perf_counter()
     pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)
     mesh_compile_s = time.perf_counter() - t0
@@ -117,8 +124,8 @@ def main() -> int:
     )
     mesh_mrays = statistics.median(mesh_rates)
     print(
-        f"mesh (10,240 tris @512x512/1pass/d8): median {mesh_mrays:.2f} Mrays/s "
-        f"of {[round(r, 2) for r in mesh_rates]}",
+        f"mesh (10,240 tris @512x512/{window}pass/d8): median {mesh_mrays:.2f} "
+        f"Mrays/s of {[round(r, 2) for r in mesh_rates]}",
         file=sys.stderr,
     )
 
