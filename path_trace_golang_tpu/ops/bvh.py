@@ -340,7 +340,15 @@ def traverse_triangles(o: V3, d: V3, pack, t_min, best_t, update_fn, exclude_obj
 # fetch latency.  Replaces the linear object scan the reference uses
 # for every primitive (gpu.go:708-740) at mesh scale.
 
-PAGE_TRIS = 128          # triangle slots per page (= lane width)
+# Triangle slots per page.  128 matches the lane width; 256 halves the
+# page count — per-round pop/stop overhead amortizes over 2x the
+# triangles and P_pad (the gather matmul's contraction dim, the
+# measured ~1/P_pad scaling wall) halves at 40k+ triangles.  Read once
+# at import; must be a power of two >= 128 (the winner-key slot field
+# is its mask, and sub-128 pages would starve the MXU gather).
+PAGE_TRIS = int(os.environ.get("PATHTRACER_PAGE_TRIS", "128"))
+if PAGE_TRIS < 128 or (PAGE_TRIS & (PAGE_TRIS - 1)) != 0:
+    raise ValueError(f"PATHTRACER_PAGE_TRIS must be a power of two >= 128, got {PAGE_TRIS}")
 MASK_BITS = 30           # usable bits per i32 mask word (sign bit avoided)
 N_PAGE_ATTRS = 32        # page tile columns:
 # 0-2 unit geometric normal n | 3 d_plane = n.v0 | 4-6 m1 | 7 c1 |
@@ -350,7 +358,11 @@ N_PAGE_ATTRS = 32        # page tile columns:
 # the barycentric duals (u = m1.h + c1, v = m2.h + c2 at plane point h),
 # c1 = -m1.v0, c2 = -m2.v0.
 
-_KEY_SLOT_MASK = 0x7F    # low bits of the winner key carry the page slot
+# low bits of the winner key carry the page slot (7 bits at the default
+# 128-slot pages); the t-ordering trick still holds — ties within the
+# quantization window resolve by slot order on BOTH the dense and
+# gather paths, so bit-identity between them is preserved at any size
+_KEY_SLOT_MASK = PAGE_TRIS - 1
 
 
 @dataclasses.dataclass(frozen=True)

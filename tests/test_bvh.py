@@ -495,9 +495,12 @@ def test_gather_walk_bitidentical_to_dense(rows):
 
     from path_trace_golang_tpu.ops import bvh
 
+    # size the soup off the page capacity so the walk is multi-page at
+    # any PATHTRACER_PAGE_TRIS (>= 4 pages + an odd tail)
+    n_tris = 4 * bvh.PAGE_TRIS + 88
     os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
     try:
-        sc = _random_tri_scene(600, seed=13)
+        sc = _random_tri_scene(n_tris, seed=13)
         pack = pack_scene(sc)
     finally:
         del os.environ["PATHTRACER_BVH_DYNAMIC"]
@@ -515,7 +518,7 @@ def test_gather_walk_bitidentical_to_dense(rows):
         rng.uniform(2.0, 50.0, size=shape).astype(np.float32)
     )
     excl = jnp.asarray(
-        rng.integers(0, 600, size=shape).astype(np.int32)
+        rng.integers(0, n_tris, size=shape).astype(np.int32)
     )
 
     fz = jnp.zeros(shape, jnp.float32)

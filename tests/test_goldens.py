@@ -88,8 +88,9 @@ def test_scene_golden(name, contract, depth):
 
 def test_many_lights_subset_path():
     """>8 lights triggers the random-contiguous-window NEE path
-    (gpu.go:1028-1047), realized as a per-lane membership mask over the
-    static light unroll (ops/lights.py, D11)."""
+    (gpu.go:1028-1047), realized as 8 per-lane GATHERED window slots —
+    one occlusion sweep per slot, reference cost model (ops/lights.py,
+    D11)."""
     mats = [mat("floor", "lambert", (0.8, 0.8, 0.8))]
     objs = [obj("p", "plane", (0, 0, 0), material_id="floor")]
     for i in range(10):

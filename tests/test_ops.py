@@ -354,3 +354,51 @@ def test_sky_modes():
     sc = S.Scene(camera=base_camera(), background=S.Color(0.9, 0.1, 0.2))  # legacy
     got = np.asarray(sky.background_color(up, ps(sc).sky).to_rows())
     np.testing.assert_allclose(got, [[0.9, 0.1, 0.2]] * 2, atol=1e-6)
+
+
+def test_gathered_window_slot_matches_static_single():
+    """_direct_single_gathered with a CONSTANT per-lane index must agree
+    with _direct_single_static for that light: the select-chain gathers
+    the exact traced scalars and the math/clamp order is kept identical
+    (ops/lights.py D11 gathered-window redesign, PERF.md round 4)."""
+    from path_trace_golang_tpu.ops import lights
+
+    mats = [mat("floor", "lambert", (0.8, 0.7, 0.6))]
+    objs = [obj("p", "plane", (0, 0, 0), material_id="floor")]
+    for i in range(10):
+        mats.append(mat(f"L{i}", "emissive", emit=(1, 0.9, 0.8), power=2.0 + i))
+        objs.append(
+            obj(f"l{i}", "sphere_light", (i - 5, 4, -2 - (i % 3)), (0.3, 0, 0),
+                material_id=f"L{i}")
+        )
+    pack = _pack(objs, mats)
+    assert pack.n_lights == 10
+
+    n_l = 256
+    px = jnp.arange(n_l, dtype=jnp.int32)
+    p = V3(
+        (px.astype(jnp.float32) % 16 - 8).reshape(2, 128) * 0.3,
+        jnp.full((2, 128), 0.0, jnp.float32),
+        (px.astype(jnp.float32) // 16 - 8).reshape(2, 128) * 0.3,
+    )
+    nrm = V3(
+        jnp.zeros((2, 128), jnp.float32),
+        jnp.ones((2, 128), jnp.float32),
+        jnp.zeros((2, 128), jnp.float32),
+    )
+    alb = V3(
+        jnp.full((2, 128), 0.8, jnp.float32),
+        jnp.full((2, 128), 0.7, jnp.float32),
+        jnp.full((2, 128), 0.6, jnp.float32),
+    )
+
+    for i in (0, 3, 9):
+        r1 = LaneRng(rng.seed_lanes(px.reshape(2, 128), px.reshape(2, 128) * 0, 7))
+        r2 = LaneRng(rng.seed_lanes(px.reshape(2, 128), px.reshape(2, 128) * 0, 7))
+        got = lights._direct_single_gathered(
+            jnp.full((2, 128), i, jnp.int32), p, nrm, alb, pack, r1
+        )
+        want = lights._direct_single_static(pack.light_objs[i], p, nrm, alb, pack, r2)
+        for a, b in ((got.x, want.x), (got.y, want.y), (got.z, want.z)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f"light {i}"
+        assert np.asarray(got.x).sum() != 0.0 or i > 0  # light 0 illuminates
