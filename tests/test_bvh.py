@@ -355,9 +355,10 @@ def test_dynamic_walk_visits_sublinear_for_coherent_packet():
 
     from path_trace_golang_tpu.ops import bvh as bvh_mod
 
-    # a long flat strip: 256 quads along x => 512 triangles in 4 pages
-    # whose bboxes are spatially disjoint quarters of the strip
-    nq = 256
+    # a long flat strip: 2*PAGE_TRIS quads along x => 4*PAGE_TRIS
+    # triangles in 4 pages (at any PATHTRACER_PAGE_TRIS) whose bboxes
+    # are spatially disjoint quarters of the strip
+    nq = 2 * bvh_mod.PAGE_TRIS
     verts = [[float(i), 0.0, z] for i in range(nq + 1) for z in (0.0, 1.0)]
     faces = []
     for i in range(nq):
@@ -633,7 +634,8 @@ def test_walk_skip_matches_on_live_lanes():
 
     os.environ["PATHTRACER_BVH_DYNAMIC"] = "1"
     try:
-        sc = _random_tri_scene(500, seed=23)
+        # multi-page at any PATHTRACER_PAGE_TRIS (500 at the default)
+        sc = _random_tri_scene(4 * bvh.PAGE_TRIS - 12, seed=23)
         pack = pack_scene(sc)
     finally:
         del os.environ["PATHTRACER_BVH_DYNAMIC"]

@@ -53,7 +53,9 @@ def main() -> int:
 
     if which == "mesh":
         sc = builtin.bench_mesh()
-        w, h, depth, window = 512, 512, 8, 1
+        # bench.py's mesh metric renders one full 8-pass window
+        w, h, depth = 512, 512, 8
+        window = max(1, int(os.environ.get("PATHTRACER_PASS_WINDOW", "8")))
     else:
         path = builtin.find_scene("gpu_showcase")
         sc = scene_io.load(path) if path else builtin.demo_showcase()
