@@ -78,6 +78,17 @@ def _device_zeros(n_pad: int):
     return jnp.zeros((n_pad, 3), dtype=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("n", "h", "w"))
+def _crop_grid(accum, n: int, h: int, w: int):
+    """Un-pad the (n_pad, 3) accumulator to the (h, w, 3) pixel grid.
+
+    Jitted so the finalize path issues NO eager ops: on the remote
+    backend every eager op is its own uncached program compile on first
+    use (part of the measured first-render warmup) and its own dispatch
+    round-trip every render thereafter."""
+    return lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
+
+
 @partial(jax.jit, donate_argnames=("buf",))
 def _zero_into(buf):
     """Zero a RECYCLED accumulator in place (donated input: the output
@@ -601,7 +612,7 @@ class Renderer:
         nonfinite = 0
 
         def current_image(accum, count):
-            flat = lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
+            flat = _crop_grid(accum, n, h, w)
             if contract == BACKEND_GPU:
                 dn = env_config.get_denoise_config()
                 u8 = finalize_gpu_contract(
@@ -619,7 +630,7 @@ class Renderer:
 
         def preview_image(accum, count):
             # progress frames skip denoise/smooth (gpu.go:2291-2293)
-            flat = lax.slice(accum, (0, 0), (n, 3)).reshape(h, w, 3)
+            flat = _crop_grid(accum, n, h, w)
             if contract == BACKEND_GPU:
                 return finalize_gpu_contract(flat, jnp.asarray(count), denoise=False)
             return finalize_cpu_contract(flat, jnp.asarray(count))

@@ -182,12 +182,19 @@ def init_compile_cache() -> None:
     if os.environ.get("PATHTRACER_NO_COMPILE_CACHE", "").lower() in _TRUE:
         return
     try:
+        import jax
+
+        # a host program (bench.py, tools) that configured the cache via
+        # jax.config BEFORE importing the package wins — clobbering it
+        # with our default silently restarts every compile from zero
+        # (measured: a 771 s bench warmup against an empty directory,
+        # PERF.md round 4)
+        if jax.config.jax_compilation_cache_dir:
+            return
         path = os.path.join(
             os.path.expanduser("~"), ".cache", "path_trace_golang_tpu", "jax"
         )
         os.makedirs(path, exist_ok=True)
-        import jax
-
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
