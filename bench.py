@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-     "spread": ..., "compile_s": ..., "mesh_mrays": ..., ...}
+     "spread": ..., "compile_s": ..., "mesh_mrays": ...,
+     "mesh_1080p_64spp_s": ..., "compile_warm_s": ..., ...}
 
 ``value`` is the MEDIAN of >= 3 independently timed pass windows (the
 axon tunnel varies ±30% across processes and ±15% across chips — a
@@ -22,6 +23,22 @@ tracked since round 3) at 512x512, one full 8-pass window, depth 8
 through the paged-BVH gather walk, so SUSTAINED mesh throughput is a
 driver-tracked number, not a PERF.md-only one.
 
+``mesh_1080p_64spp_s`` projects the north-star-scale mesh config
+(BASELINE.json configs[3]: a 1080p mesh render; 64 spp matches the
+headline deliverable's spp unit) from the measured window:
+median window wall x (1920*1080)/(512*512) x (64/window_passes).
+A linear-scale projection, slightly pessimistic (the ~0.2 s fixed
+per-render cost is scaled along with the compute).
+
+Cold-start accounting (round 5): the two warmups (headline + mesh)
+compile in PARALLEL THREADS — XLA compiles run server-side on separate
+compile-helper processes, so the wall cost is ~max not sum — and after
+the timed runs a FRESH SUBPROCESS re-runs both warmups against the
+now-written persistent cache and reports ``compile_warm_s`` /
+``mesh_compile_warm_s``: the cold start any later process (CI, a user,
+the next bench) actually pays.  ``.jax_cache/`` is committed to the
+repo so a fresh checkout starts from the warm regime.
+
 Diagnostics go to stderr.
 """
 
@@ -30,30 +47,56 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
+import threading
 import time
 
 
-def _timed_windows(renderer_factory, scene, cfg, n_runs):
-    """Render ``cfg`` ``n_runs`` times in fresh renderers; returns the
-    per-run Mrays/s list (same process, same tunnel worker — the only
-    comparison regime PERF.md found trustworthy)."""
-    rates = []
+def _timed_windows(renderer_factory, sc, cfg, n_runs):
+    """Render ``cfg`` ``n_runs`` times in fresh renderers; returns
+    (mrays list, wall-seconds list) per run (same process, same tunnel
+    worker — the only comparison regime PERF.md found trustworthy)."""
+    rates, walls = [], []
     for i in range(n_runs):
         r = renderer_factory(i)
-        r.render(scene, cfg)
+        r.render(sc, cfg)
         rates.append(r.stats.mrays_per_sec)
-    return rates
+        walls.append(r.stats.wall_seconds)
+    return rates, walls
 
 
-def main() -> int:
-    # a gpu-contract regression must fail the bench, not silently demote
-    # to the cpu contract (render.py fallback)
+def _parallel_warmups(jobs):
+    """Run ``jobs`` = [(label, thunk), ...] in parallel threads; returns
+    {label: seconds}.  Compiles are server-side (separate compile-helper
+    processes per program on the axon backend), so overlapping them cuts
+    the bench's cold-start wall to ~max(compile times) instead of the
+    sum; the short warmup renders at the tail contend for the one chip,
+    which inflates each recorded figure by at most the other's render."""
+    out = {}
+
+    def run(label, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        out[label] = time.perf_counter() - t0
+
+    threads = [threading.Thread(target=run, args=j, daemon=True) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return out
+
+
+def _setup():
+    """Shared process setup: cache config + scene/config construction.
+    Returns (pt, headline scene, headline cfg, mesh scene, mesh cfg)."""
     os.environ.setdefault("PATHTRACER_NO_FALLBACK", "1")
     import jax
 
-    # persistent compile cache: spares repeat bench runs the multi-minute
-    # warmup when the backend supports executable serialization
+    # persistent compile cache: spares repeat bench runs (and, since the
+    # cache directory is committed, fresh checkouts) the multi-minute
+    # XLA compile when the backend supports executable serialization
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -63,16 +106,7 @@ def main() -> int:
     import path_trace_golang_tpu as pt
     from path_trace_golang_tpu.scene import builtin, io as scene_io
 
-    width, height = 1920, 1080
-    max_depth = 12  # gpu_showcase settings (SURVEY.md §6)
-    # The warmup must compile the SAME kernels the timed runs use: the
-    # timed runs render whole pass windows (PATHTRACER_PASS_WINDOW,
-    # default 8), so a 1-pass warmup would leave the window kernel's
-    # compile inside the timed region whenever the persistent cache
-    # misses (fresh backend/libtpu).  Warm one full window.
     window = max(1, int(os.environ.get("PATHTRACER_PASS_WINDOW", "8")))
-    n_runs = max(3, int(os.environ.get("BENCH_RUNS", "3")))
-
     path = builtin.find_scene("gpu_showcase")
     if path is not None:
         sc = scene_io.load(path)
@@ -80,19 +114,61 @@ def main() -> int:
     else:
         sc = builtin.demo_showcase()
         name = "demo_showcase(builtin)"
-    print(f"bench scene: {name} @ {width}x{height}, depth {max_depth}", file=sys.stderr)
+    # The warmup must compile the SAME kernels the timed runs use: the
+    # timed runs render whole pass windows, so warm one full window.
+    cfg = pt.RenderConfig(1920, 1080, window, 12)  # gpu_showcase depth (SURVEY §6)
+    mesh_sc = builtin.bench_mesh()
+    mesh_cfg = pt.RenderConfig(512, 512, window, 8)
+    print(f"bench scene: {name} @ 1920x1080 d12; mesh 10,240 tris @512x512 d8", file=sys.stderr)
+    return pt, sc, cfg, mesh_sc, mesh_cfg
 
-    cfg = pt.RenderConfig(width, height, window, max_depth)
+
+def _warm_probe() -> int:
+    """Fresh-process cold start against the (just-written) persistent
+    cache: the number a NEW process/user/CI run pays.  Prints one JSON
+    line and exits."""
+    pt, sc, cfg, mesh_sc, mesh_cfg = _setup()
+    times = _parallel_warmups(
+        [
+            ("headline", lambda: pt.Renderer(contract="gpu", seed=1).render(sc, cfg)),
+            ("mesh", lambda: pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)),
+        ]
+    )
+    print(
+        json.dumps(
+            {
+                "compile_warm_s": round(times["headline"], 1),
+                "mesh_compile_warm_s": round(times["mesh"], 1),
+            }
+        )
+    )
+    return 0
+
+
+def main() -> int:
+    if "--warm-probe" in sys.argv:
+        return _warm_probe()
+    pt, sc, cfg, mesh_sc, mesh_cfg = _setup()
+    window = cfg.samples_per_px
+    n_runs = max(3, int(os.environ.get("BENCH_RUNS", "3")))
 
     # warmup / compile — tracked in the JSON artifact (compile_s) so the
-    # cold-start cost is a budgeted number across rounds, not a silent tax
-    t0 = time.perf_counter()
-    pt.Renderer(contract="gpu", seed=1).render(sc, cfg)
-    compile_s = time.perf_counter() - t0
-    print(f"warmup+compile: {compile_s:.1f}s", file=sys.stderr)
+    # cold-start cost is a budgeted number across rounds, not a silent
+    # tax.  Headline and mesh warm in parallel (see _parallel_warmups).
+    times = _parallel_warmups(
+        [
+            ("headline", lambda: pt.Renderer(contract="gpu", seed=1).render(sc, cfg)),
+            ("mesh", lambda: pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)),
+        ]
+    )
+    compile_s, mesh_compile_s = times["headline"], times["mesh"]
+    print(
+        f"warmup+compile (parallel): headline {compile_s:.1f}s, mesh {mesh_compile_s:.1f}s",
+        file=sys.stderr,
+    )
 
     # timed runs: n_runs independent windows, median + spread
-    rates = _timed_windows(
+    rates, _walls = _timed_windows(
         lambda i: pt.Renderer(contract="gpu", seed=2 + i), sc, cfg, n_runs
     )
     mrays = statistics.median(rates)
@@ -107,27 +183,43 @@ def main() -> int:
 
     # ---- mesh/BVH metric: 10,240-triangle bench scene ------------------
     # 8 passes = ONE full regeneration window in one dispatch: the
-    # SUSTAINED walk throughput a 256-spp mesh render sees.  A 1-pass
-    # config under-reports by ~25% because the ~0.2 s fixed per-render
-    # cost (dispatch + finalize readback on the remote link) dominates a
-    # 0.55 s pass (PERF.md round 4: 10.5 / 12.9 / 13.7 Mrays/s at
-    # 1/4/8 passes).  First driver-recorded round for this metric, so
-    # the definition is set here once, before any history exists.
-    mesh_sc = builtin.bench_mesh()
-    mesh_cfg = pt.RenderConfig(512, 512, window, 8)
-    t0 = time.perf_counter()
-    pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)
-    mesh_compile_s = time.perf_counter() - t0
-    print(f"mesh warmup+compile: {mesh_compile_s:.1f}s", file=sys.stderr)
-    mesh_rates = _timed_windows(
+    # SUSTAINED walk throughput a 256-spp mesh render sees.  (A 1-pass
+    # config under-reports by ~25%: the ~0.2 s fixed per-render cost
+    # dominates a 0.55 s pass; PERF.md round 4.)
+    mesh_rates, mesh_walls = _timed_windows(
         lambda i: pt.Renderer(contract="gpu", seed=12 + i), mesh_sc, mesh_cfg, n_runs
     )
     mesh_mrays = statistics.median(mesh_rates)
+    mesh_wall = statistics.median(mesh_walls)
+    # north-star-scale projection (see module docstring)
+    mesh_1080p_64spp_s = mesh_wall * (1920 * 1080) / (512 * 512) * (64 / window)
     print(
         f"mesh (10,240 tris @512x512/{window}pass/d8): median {mesh_mrays:.2f} "
-        f"Mrays/s of {[round(r, 2) for r in mesh_rates]}",
+        f"Mrays/s of {[round(r, 2) for r in mesh_rates]}; "
+        f"1080p@64spp projection {mesh_1080p_64spp_s:.1f}s",
         file=sys.stderr,
     )
+
+    # ---- fresh-process warm cold-start (the number others pay) ---------
+    warm = {}
+    if os.environ.get("BENCH_NO_WARM_PROBE", "") not in ("1", "true", "on"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--warm-probe"],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    warm = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            print(f"fresh-process warm probe: {warm}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — the probe must never fail the bench
+            print(f"warm probe failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -142,6 +234,8 @@ def main() -> int:
                 "mesh_mrays": round(mesh_mrays, 2),
                 "mesh_spread": round(max(mesh_rates) - min(mesh_rates), 2),
                 "mesh_compile_s": round(mesh_compile_s, 1),
+                "mesh_1080p_64spp_s": round(mesh_1080p_64spp_s, 1),
+                **{k: warm[k] for k in ("compile_warm_s", "mesh_compile_warm_s") if k in warm},
             }
         )
     )

@@ -586,75 +586,71 @@ def build_paged_bvh(
 # ---------------------------------------------------------------------------
 # Gather-table layout (the in-kernel per-lane traversal, see below)
 # ---------------------------------------------------------------------------
-# Per-attr transposed blocks: row ``a * PAGE_TRIS + j`` of the table is
-# attribute ``a`` of triangle slot ``j`` across all pages (pages on
-# lanes, zero-padded to a multiple of 128).  One
-# ``dot(table, onehot(pages))`` then fetches each lane's OWN page as a
-# (PAGE_TRIS, LANE) attribute grid — an MXU gather.
+# f32[3*A, P_pad, PAGE_TRIS]: entry [l*A + a, p, j] is bf16 limb l of
+# attribute column ``_gather_cols()[a]``, page p, triangle slot j.  Per
+# (limb, attr), ``dot(table[l*A+a, base:base+W, :], onehot[W, lanes])``
+# fetches each lane's OWN page as a (PAGE_TRIS, LANE) attribute grid —
+# an MXU gather contracting over the page axis.  Three constraints
+# shaped this layout (round 5, tools/repro/window_slice_probe.py):
+#   * limbs are STORED AS f32 — every dynamic slice of a bf16 ref fails
+#     to compile under Mosaic, while f32 works; and a default-precision
+#     f32 MXU dot truncates operands to bf16, which for operands that
+#     ARE bf16-exact (limbs, 0/1 one-hots) is the identity — the gather
+#     stays bit-exact at one MXU pass per limb, same as the old bf16
+#     table, at 2x the VMEM.
+#   * pages ride the MIDDLE (second-minor) dim: Mosaic accepts a
+#     dynamic slice there at a static leading index, but rejects
+#     dynamic slices of any 2D table wider than 128 lanes — and the
+#     dynamic page WINDOW is the round-5 fix for the ~1/P_pad
+#     contraction wall (tri_scaling.json).
+#   * attribute planes are separate leading-dim indices, so the test
+#     and resolve sets SHARE columns instead of duplicating them.
 
 # Sweep-test attribute set.  Col 15 (valid) is NOT gathered: a slot is
 # invalid iff its tile row is all-zero (build_paged_bvh only skips
 # degenerate triangles, leaving the row zeroed), so n = 0 and the
 # |denom| > 1e-12 guard in _mt_key already rejects it — the gather-side
 # accessor substitutes a constant 1.0 and stays bit-identical to the
-# dense path, which reads the real column.
+# dense path, which reads the real column.  The obj column (13) is
+# LAST so walks without an object exclusion statically drop it.
 _G_TEST_COLS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13)
 _A_TEST = len(_G_TEST_COLS)
 
 
 def _gather_cols(any_smooth: bool):
-    # test set, then the FULL winner-resolve set in _RES_COLS order —
-    # cols shared with the test set are duplicated so the resolve
-    # matmul reads one contiguous block range (a few KB of VMEM buys a
-    # 3x-smaller resolve matmul)
-    return _G_TEST_COLS + _RES_COLS[: len(_RES_COLS) if any_smooth else 6]
+    """Deduplicated gather-table column set: the test set first (in
+    _G_TEST_COLS order), then the resolve-only extras."""
+    cols = list(_G_TEST_COLS)
+    for c in _RES_COLS[: len(_RES_COLS) if any_smooth else 6]:
+        if c not in cols:
+            cols.append(c)
+    return tuple(cols)
 
 
 def build_gather_table(tiles: np.ndarray, paged: "PagedBvh") -> np.ndarray:
-    """(P, PAGE_TRIS, N_PAGE_ATTRS) page tiles -> (A*PAGE_TRIS, P_pad).
+    """(P, PAGE_TRIS, N_PAGE_ATTRS) page tiles -> f32[3*A, P_pad, PAGE_TRIS].
 
-    Layout: the sweep-test attributes first (the per-round gather
-    slice), then the winner-resolve-only attributes — gathered once per
-    row after the walk, not every round.  The page's early-stop axis
-    center is NOT a table block: it is one static scalar per page, so
-    the walk selects it from compile-time immediates instead of paying
-    a 128-row gather block for a replicated value."""
-    p, tris, _ = tiles.shape
-    cols = _gather_cols(paged.any_smooth)
-    p_pad = -(-p // 128) * 128
-    g = np.zeros((len(cols) * tris, p_pad), np.float32)
-    for ai, c in enumerate(cols):
-        g[ai * tris : (ai + 1) * tris, :p] = tiles[:, :, c].T
-    return g
-
-
-def pack_gather_limbs(g: np.ndarray) -> np.ndarray:
-    """f32 gather table (R, P_pad) -> limb-stacked bf16 (3*R, P_pad).
-
-    Host-side (pack-time) version of the exact 3-limb split the kernel
-    used to compute on the fly (``_bf16_limbs``): hi+mid+lo == g exactly
-    (8+8+8 mantissa bits cover f32's 24; each residual subtraction is
-    exact in f32).  Precomputing at pack time halves the table's VMEM
-    footprint — the kernel previously held the f32 table AND its three
-    in-kernel limb copies live at once — and lifts the Pallas page
-    ceiling accordingly (pallas_supported).  Limb l occupies rows
-    [l*R, (l+1)*R)."""
+    The exact 3-limb bf16 split (hi+mid+lo == value exactly: 8+8+8
+    mantissa bits cover f32's 24; each residual subtraction is exact in
+    f32), stored as f32 planes in the layout described in the section
+    banner.  The page's early-stop axis center is NOT a table plane: it
+    is one static scalar per page, so the walk selects it from
+    compile-time immediates (PagedBvh.center_fit)."""
     import ml_dtypes  # jax hard dependency; numpy-native bf16 casts
 
+    p, tris, _ = tiles.shape
+    cols = _gather_cols(paged.any_smooth)
+    a_n = len(cols)
+    p_pad = -(-p // 128) * 128
+    g = np.zeros((a_n, p_pad, tris), np.float32)
+    for ai, c in enumerate(cols):
+        g[ai, :p, :] = tiles[:, :, c]
     bf16 = ml_dtypes.bfloat16
-    g = np.asarray(g, np.float32)
-    hi = g.astype(bf16)
-    r1 = g - hi.astype(np.float32)
-    mid = r1.astype(bf16)
-    lo = (r1 - mid.astype(np.float32)).astype(bf16)
+    hi = g.astype(bf16).astype(np.float32)
+    r1 = g - hi
+    mid = r1.astype(bf16).astype(np.float32)
+    lo = (r1 - mid).astype(bf16).astype(np.float32)
     return np.concatenate([hi, mid, lo], axis=0)
-
-
-def _limb_views(stacked):
-    """Slice a limb-stacked (3*R, P_pad) bf16 array/ref back into the
-    (hi, mid, lo) tuple the gather rounds consume."""
-    r = stacked.shape[0] // 3
-    return tuple(stacked[l * r : (l + 1) * r, :] for l in range(3))
 
 
 def _page_centers(paged: "PagedBvh") -> tuple:
@@ -1383,11 +1379,12 @@ def occluded_triangles_paged(o: V3, d: V3, pack, t_min, t_max, blocked):
 #   pair.  Rounds per row = the MAX wanted count over its 128 lanes
 #   (~3-7 on real content) instead of the 70+ page union.
 #
-# The one-hot matmul must be an EXACT f32 selection: with
-# Precision.HIGHEST the f32 operand is split into three bf16 limbs
-# (8+8+8 mantissa bits >= f32's 24) and each limb is multiplied by an
-# exactly-representable 0.0/1.0, accumulating in f32 — bit-exact, so
-# the kernel stays bit-comparable with the XLA dense path.
+# The one-hot matmul must be an EXACT f32 selection: the f32 attribute
+# splits into three bf16-exact limbs (8+8+8 mantissa bits >= f32's 24,
+# stored as f32 — see the table-layout banner) and each limb multiplies
+# an exactly-representable 0.0/1.0 under the MXU's default bf16
+# truncation (identity on bf16-exact operands), accumulating in f32 —
+# bit-exact, so the kernel stays bit-comparable with the XLA dense path.
 #
 # Winner resolve: one more gather round per row against the lane's
 # winning page; a slot one-hot recovers the attributes, and the shared
@@ -1405,108 +1402,107 @@ def _use_gather(pack) -> bool:
     return gather_enabled() and _is_ref(pack.page_gather)
 
 
-# gathered block index by page-tile column (see build_gather_table)
-_G_BLOCK = {c: i for i, c in enumerate(_G_TEST_COLS)}
+# Page window for the per-round gather (round 5).  The full-width
+# one-hot matmul contracts over ALL p_pad pages — O(P) MACs per lane
+# per round, the measured scaling wall (tools/perf/tri_scaling.json:
+# 9.5 → 3.6 → 1.5 Mrays/s at 10k/40k/100k triangles).  The windowed
+# form contracts over min(P_pad, GATHER_WINDOW) pages anchored at the
+# round's minimum live page (128-aligned): lanes whose page falls past
+# the window DEFER — their mask bit is restored and they retry next
+# round.  The base lane always progresses, so the walk terminates, and
+# deferral only REORDERS page visits (every page is still swept exactly
+# once per wanting lane; the winner is a min over the same key set), so
+# results stay bit-identical to the full-width and dense paths.
+# 0 disables windowing.  (The round-4 BANKED alternative — lax.cond per
+# 128-page bank — is deleted: Mosaic predicates conds, so skipped banks
+# still paid 74% of the matmul; PERF.md round 4.)
+GATHER_WINDOW = (
+    max(0, int(os.environ.get("PATHTRACER_BVH_GATHER_WINDOW", "256") or 0))
+    // 128
+    * 128
+)
 
 
-def _bf16_limbs(g):
-    """Split an f32 array into three bf16 limbs with g == hi+mid+lo
-    exactly (8+8+8 mantissa bits cover f32's 24)."""
-    hi = g.astype(jnp.bfloat16)
-    r1 = g - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+def _window_for(p_pad: int):
+    """Static window width for a table of ``p_pad`` pages (None = no
+    windowing: full-width static slices compile leaner)."""
+    if GATHER_WINDOW <= 0 or p_pad <= GATHER_WINDOW:
+        return None
+    return GATHER_WINDOW
 
 
-def _gather_dot(limbs, onehot):
-    """Exact-f32 one-hot page gather on the MXU: three bf16 limb
-    matmuls against an exactly-representable 0/1 matrix, accumulated in
-    f32 — bit-exact selection at 3 MXU passes (Precision.HIGHEST on two
-    f32 operands would run 9)."""
-    oh = onehot.astype(jnp.bfloat16)
-    acc = None
-    for limb in limbs:
-        t = lax.dot_general(
-            limb, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc = t if acc is None else acc + t
-    return acc
+def _g_slice(gt, plane: int, base, w: int):
+    """(w, PAGE_TRIS) f32 page window of one (limb, attr) table plane.
+
+    Ref path: Mosaic supports the dynamic middle-dim slice at a static
+    leading index (tools/repro/window_slice_probe.py — the ONLY dynamic
+    slice shape it accepts for this table); array path (XLA/CPU tests):
+    lax.dynamic_slice."""
+    if isinstance(base, int):
+        return gt[plane, base : base + w, :]
+    if _is_ref(gt):
+        from jax.experimental import pallas as pl
+
+        return gt[plane, pl.dslice(base, w), :]
+    return lax.dynamic_slice(
+        gt, (jnp.int32(plane), base, jnp.int32(0)), (1, w, gt.shape[2])
+    )[0]
 
 
-# banked gather opt-in (diagnostics): measured NEGATIVE on real TPU at
-# 40k tris — 2.6 vs 3.6 Mrays/s unbanked, compile 882 vs 224 s (PERF.md
-# round 4).  The per-bank lax.cond rounds don't pay for themselves: a
-# sublane row's 128 pops fan across banks often enough that most rounds
-# touch every bank anyway, and the cond-per-bank-per-round blows up the
-# Mosaic program.  Kept opt-in for diagnosis; results are exact either
-# way (a skipped bank's one-hot block is all-false -> contributes zero).
-def _bank_enabled() -> bool:
-    return os.environ.get("PATHTRACER_BVH_BANKED", "") in ("1", "true", "on")
+def _gather_sel(gt, attrs, limbs_n, n_pages, p_l, guard=False, base=0, w=None):
+    """Exact one-hot MXU gather of each lane's page.
 
+    ``gt``: f32[3*A, P_pad, PAGE_TRIS] limb-planed table (ref or
+    array); ``attrs``: static attr-plane indices to gather; ``limbs_n``
+    limbs to accumulate (TEST_LIMBS for selection, 3 for the exact
+    resolve); ``p_l`` (1, LANE) i32 per-lane page (sentinel/−1 lanes —
+    and lanes outside the window — gather exact zeros: padding pages
+    are zero columns and out-of-window one-hots are all-false).
+    ``[base, base+w)``: the page window (defaults to the whole table).
+    ``guard`` wraps the gather in an any-lane-live cond (the winner
+    RESOLVE: an all-miss row skips its loads+matmuls — exact, measured
+    neutral-positive; the per-round TEST gather leaves it off since the
+    while cond already guarantees a live lane).
 
-def _gather_sel(gt, row_lo, row_hi, limbs_n, n_pages, p_l, guard=False):
-    """Exact one-hot gather of each lane's page from the limb-stacked
-    table, with optional (opt-in, see _bank_enabled) 128-page BANK
-    skipping.
-
-    The plain form contracts over ALL p_pad pages — O(P) MACs per lane
-    per round, the measured scaling wall (tools/perf/tri_scaling.json:
-    9.5 → 3.6 → 1.5 Mrays/s at 10k/40k/100k triangles).  The banked
-    form gathers each 128-column bank under a scalar ``lax.cond`` so
-    untouched banks skip both the limb LOADS and the MXU matmuls — but
-    it measured slower end-to-end (see _bank_enabled), so it ships
-    default-off.
-
-    ``gt``: limb-stacked bf16 (3R, p_pad) table (ref or array);
-    ``[row_lo, row_hi)`` selects the attr-block rows; ``limbs_n`` how
-    many limbs to gather (TEST_LIMBS for selection, 3 for the exact
-    resolve); ``p_l`` (1, LANE) i32 per-lane page (sentinel/−1 lanes
-    gather zeros).  ``guard`` adds an any-lane-active cond on the
-    whole gather (the winner RESOLVE: a row whose lanes all missed has
-    every page −1, and skipping its loads+matmuls is exact — measured
-    neutral-positive at 10k tris); the per-round TEST gather leaves it
-    off — the while cond already guarantees a live lane.  Returns
-    (row_hi-row_lo, LANE) f32."""
-    r = gt.shape[0] // 3
+    Returns a LIST of (PAGE_TRIS, LANE) f32 grids in ``attrs`` order.
+    Exactness: each dot is f32-stored bf16-exact limbs x a 0/1 one-hot
+    under DEFAULT precision — the MXU's bf16 truncation is the identity
+    on both operands, and each output element sums at most one nonzero
+    product, so hi+mid+lo reconstructs the f32 attribute bit-exactly
+    (same contract the old bf16-limb table had)."""
+    a_n = gt.shape[0] // 3
     p_pad = gt.shape[1]
-    rows = row_hi - row_lo
+    tris = gt.shape[2]
     lane = p_l.shape[1]
-    if p_pad <= 128 or not _bank_enabled():
+    if w is None:
+        w = p_pad
+    iota_w = lax.broadcasted_iota(jnp.int32, (w, 1), 0)
 
-        def take_all():
-            limbs = tuple(
-                gt[l * r + row_lo : l * r + row_hi, :] for l in range(limbs_n)
-            )
-            iota_p = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
-            return _gather_dot(limbs, iota_p == p_l)
+    def take_all():
+        oh = ((iota_w + base) == p_l).astype(jnp.float32)
+        outs = []
+        for a in attrs:
+            acc = None
+            for l in range(limbs_n):
+                t = lax.dot_general(
+                    _g_slice(gt, l * a_n + a, base, w),
+                    oh,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.DEFAULT,
+                )
+                acc = t if acc is None else acc + t
+            outs.append(acc)
+        return outs
 
-        if guard:
-            live = (p_l >= 0) & (p_l < n_pages)
-            return lax.cond(
-                jnp.any(live),
-                take_all,
-                lambda: jnp.zeros((rows, lane), jnp.float32),
-            )
-        return take_all()
-    iota_b = lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    acc = None
-    for lo in range(0, p_pad, 128):
-        in_b = (p_l >= lo) & (p_l < min(lo + 128, n_pages))
-
-        def take(lo=lo):
-            oh = (iota_b + lo) == p_l
-            limbs = tuple(
-                gt[l * r + row_lo : l * r + row_hi, lo : lo + 128]
-                for l in range(limbs_n)
-            )
-            return _gather_dot(limbs, oh)
-
-        g_b = lax.cond(
-            jnp.any(in_b), take, lambda: jnp.zeros((rows, lane), jnp.float32)
+    if guard:
+        live = (p_l >= 0) & (p_l < n_pages)
+        return lax.cond(
+            jnp.any(live),
+            take_all,
+            lambda: [jnp.zeros((tris, lane), jnp.float32) for _ in attrs],
         )
-        acc = g_b if acc is None else acc + g_b
-    return acc
+    return take_all()
 
 
 def _center_fit_of(paged: "PagedBvh"):
@@ -1531,9 +1527,37 @@ def _clear_bit(words_r, p_l):
     return out
 
 
+def _window_pop(p_l, bws_old, bws_new, selb, sent, p_pad: int, w_win):
+    """Clamp one pop to the round's page window (see GATHER_WINDOW).
+
+    Without windowing (``w_win`` None): accept the pop as-is (base 0).
+    With windowing: base anchors at the round's minimum live page
+    (128-aligned, clamped so the window stays inside the table); lanes
+    whose page falls outside [base, base+w) DEFER — their pre-pop mask
+    words are restored, their page becomes the sentinel (gathers exact
+    zeros), and their sel flags clear (no early-stop contribution, which
+    only postpones kills — conservative).  The minimum-page lane is
+    always inside the window, so every round makes progress."""
+    if w_win is None:
+        return p_l, bws_new, selb, 0
+    live = p_l < sent
+    base = jnp.min(jnp.where(live, p_l, jnp.int32(p_pad)))
+    base = jnp.maximum(
+        jnp.minimum((base // 128) * 128, jnp.int32(p_pad - w_win)), 0
+    )
+    in_win = live & (p_l < base + w_win)
+    p_l = jnp.where(in_win, p_l, sent)
+    bws = [
+        [jnp.where(in_win, nw_, ow_) for nw_, ow_ in zip(nb_, ob_)]
+        for nb_, ob_ in zip(bws_new, bws_old)
+    ]
+    selb = [s & in_win for s in selb]
+    return p_l, bws, selb, base
+
+
 def _gather_round(
-    gather_args, p_l, p_pad, o_r, d_r, t_min, best_key_r, t_max_r, excl_r,
-    center_fit=None,
+    gather_args, p_l, o_r, d_r, t_min, best_key_r, t_max_r, excl_r,
+    center_fit=None, base=0, w=None,
 ):
     """One gather round for one sublane row: returns the per-pair winner
     key min-reduced to (1, LANE) plus the popped page's approximate axis
@@ -1547,15 +1571,14 @@ def _gather_round(
     when not provided (the any-hit walk never stops on centers).  The
     valid column (15) is substituted with a constant: invalid slots are
     all-zero rows, already rejected by the |denom| guard in _mt_key
-    (see _G_TEST_COLS).  ``gather_args`` = (gt, row_lo, row_hi,
-    limbs_n, n_pages) for the banked selection (_gather_sel)."""
-    g = _gather_sel(*gather_args, p_l)  # (A_TEST*PAGE_TRIS, LANE)
+    (see _G_TEST_COLS).  ``gather_args`` = (gt, attrs, cols, limbs_n,
+    n_pages) — attr-plane indices plus their column ids (_gather_sel);
+    ``[base, base+w)`` the page window for this round."""
+    gt, attrs, cols, limbs_n, n_pages = gather_args
+    g = _gather_sel(gt, attrs, limbs_n, n_pages, p_l, base=base, w=w)
+    pos = {c: i for i, c in enumerate(cols)}
 
-    blk = lambda c: (  # noqa: E731
-        _F(1.0)
-        if c == 15
-        else g[_G_BLOCK[c] * PAGE_TRIS : (_G_BLOCK[c] + 1) * PAGE_TRIS, :]
-    )
+    blk = lambda c: _F(1.0) if c == 15 else g[pos[c]]  # noqa: E731
     k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
     keys = _mt_key(
         blk,
@@ -1596,15 +1619,24 @@ def _traverse_gather(
     sent = jnp.int32(n_pages)
     smooth = paged.any_smooth
 
-    gt = pack.page_gather  # limb-stacked bf16 (3*R, P_pad), ref or array
-    r_full = gt.shape[0] // 3
+    gt = pack.page_gather  # f32[3*A, P_pad, PAGE_TRIS] limb planes, ref or array
     p_pad = gt.shape[1]
+    w_win = _window_for(p_pad)
+    cols = _gather_cols(smooth)
+    cidx = {c: i for i, c in enumerate(cols)}
     # the obj column (13) is the LAST test block and is only read by the
     # exclude-object compare: without an exclusion the per-round gather
     # statically drops it (13 -> 12 blocks of MXU work per round)
-    a_test = _A_TEST if exclude_obj is not None else _A_TEST - 1
-    test_args = (gt, 0, a_test * PAGE_TRIS, TEST_LIMBS, n_pages)
-    res_args = (gt, _A_TEST * PAGE_TRIS, r_full, 3, n_pages)
+    test_cols = _G_TEST_COLS if exclude_obj is not None else _G_TEST_COLS[:-1]
+    test_args = (
+        gt,
+        tuple(cidx[c] for c in test_cols),
+        test_cols,
+        TEST_LIMBS,
+        n_pages,
+    )
+    n_res = len(_RES_COLS) if smooth else 6
+    res_attrs = tuple(cidx[c] for c in _RES_COLS[:n_res])
     ax = paged.sort_axis
     margin = _F(paged.sort_margin)
     center_fit = _center_fit_of(paged)
@@ -1654,7 +1686,6 @@ def _traverse_gather(
     nw = nb * w_n
     key_rows, page_rows, res_rows = [], [], []
     visits = jnp.zeros((), jnp.int32)
-    n_res = len(_RES_COLS) if smooth else 6
 
     for s in range(grows):
         sl = lambda a: a[s : s + 1, :]  # noqa: E731
@@ -1684,13 +1715,16 @@ def _traverse_gather(
             # the winner) so the MXU can pipeline them
             pops = []
             for _ in range(ROUND_POPS):
-                p_l, bws, selb = _pop_bucketed(bws, sent, fwd_r, n_pages)
-                pops.append((p_l, selb))
+                p_l, bws_new, selb = _pop_bucketed(bws, sent, fwd_r, n_pages)
+                p_l, bws, selb, base = _window_pop(
+                    p_l, bws, bws_new, selb, sent, p_pad, w_win
+                )
+                pops.append((p_l, selb, base))
             rounds = []
-            for p_l, selb in pops:
+            for p_l, selb, base in pops:
                 page_key, c_ax, dev = _gather_round(
-                    test_args, p_l, p_pad, o_r, d_r, t_min, bk, t_max_r,
-                    excl_r, center_fit=center_fit,
+                    test_args, p_l, o_r, d_r, t_min, bk, t_max_r,
+                    excl_r, center_fit=center_fit, base=base, w=w_win,
                 )
                 rounds.append((p_l, selb, page_key, c_ax, dev))
             new_key = bk
@@ -1725,21 +1759,19 @@ def _traverse_gather(
         page_rows.append(_unflatten_row(bp_r, gstep))
 
         # ---- winner resolve: one gather against the winning page over
-        # the resolve-only blocks, then a slot one-hot extraction
+        # the resolve attr planes, then a slot one-hot extraction
         # (no-hit lanes have bp_r == -1 and gather exact zeros; all-miss
-        # rows skip the resolve loads+matmuls entirely via guard)
-        g_win = _gather_sel(*res_args, bp_r, guard=True)
+        # rows skip the resolve loads+matmuls entirely via guard).
+        # Full-width (no window): it runs ONCE per row, so its O(P_pad)
+        # contraction is off the per-round critical path.
+        g_win = _gather_sel(gt, res_attrs, 3, n_pages, bp_r, guard=True)
         slot_r = bk_r & jnp.int32(_KEY_SLOT_MASK)
         k_iota = lax.broadcasted_iota(jnp.int32, (PAGE_TRIS, 1), 0)
         s_onehot = (k_iota == slot_r).astype(jnp.float32)
         res_rows.append(
             [
                 _unflatten_row(
-                    jnp.sum(
-                        s_onehot * g_win[ai * PAGE_TRIS : (ai + 1) * PAGE_TRIS, :],
-                        axis=0,
-                        keepdims=True,
-                    ),
+                    jnp.sum(s_onehot * g_win[ai], axis=0, keepdims=True),
                     gstep,
                 )
                 for ai in range(n_res)
@@ -1762,10 +1794,20 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     sent = jnp.int32(paged.n_pages)
     w_n = paged.mask_words
 
-    gt = pack.page_gather  # limb-stacked bf16 (3*R, P_pad), ref or array
+    gt = pack.page_gather  # f32[3*A, P_pad, PAGE_TRIS] limb planes, ref or array
     p_pad = gt.shape[1]
+    w_win = _window_for(p_pad)
+    cols = _gather_cols(paged.any_smooth)
+    cidx = {c: i for i, c in enumerate(cols)}
     # shadow rays never exclude an object: drop the obj test block
-    test_args = (gt, 0, (_A_TEST - 1) * PAGE_TRIS, TEST_LIMBS, paged.n_pages)
+    test_cols = _G_TEST_COLS[:-1]
+    test_args = (
+        gt,
+        tuple(cidx[c] for c in test_cols),
+        test_cols,
+        TEST_LIMBS,
+        paged.n_pages,
+    )
 
     # whole-grid flatten to (rows/G, G*128) — see _traverse_gather; the
     # bool ``blocked`` converts to i32 BEFORE the reshape (i1 shape
@@ -1817,10 +1859,13 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
             bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
             blk = carry[nw]
             for _ in range(ROUND_POPS):
-                p_l, bws, _selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
+                p_l, bws_new, selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
+                p_l, bws, _selb, base = _window_pop(
+                    p_l, bws, bws_new, selb, sent, p_pad, w_win
+                )
                 page_key, _c_ax, _dev = _gather_round(
-                    test_args, p_l, p_pad, o_r, d_r, t_min, key0_r,
-                    t_max_r, None,
+                    test_args, p_l, o_r, d_r, t_min, key0_r,
+                    t_max_r, None, base=base, w=w_win,
                 )
                 blk = blk | (page_key < key0_r).astype(jnp.int32)
             dead = blk != 0

@@ -43,15 +43,17 @@ __all__ = ["trace_grid_pallas", "render_pass_pallas", "pallas_supported", "BLOCK
 BLOCK_ROWS = 32
 # BVH tables at or below this triangle count ride in SMEM (see kernels)
 SMEM_TRI_MAX = 2048
-# VMEM bytes budgeted to the limb-stacked bf16 gather table.  The walk
-# holds one round's test blocks + the table itself live; Mosaic's
-# scoped-vmem default (16 MB) is raised via vmem_limit_bytes on the
-# mesh kernels (VMEM_LIMIT) — measured: the 40k-tri/384-page kernel
-# wants 22 MB of scoped stack.  16 MB of table admits ~940 pages
-# (~120k triangles) for plain meshes (A=19), ~780 pages (~100k) for
-# smooth ones (A=23), with ~50 MB of scoped headroom left under
-# VMEM_LIMIT for the per-round loads at that scale.
-GATHER_VMEM_BUDGET = 16 << 20
+# VMEM bytes budgeted to the limb-planed gather table.  The walk holds
+# one round's test window + the table itself live; Mosaic's scoped-vmem
+# default (16 MB) is raised via vmem_limit_bytes on the mesh kernels
+# (VMEM_LIMIT).  Round 5 stores the limbs as f32 (2x the old bf16
+# table: bf16 dynamic slices miscompile — ops/bvh.py table banner), so
+# the budget doubles to keep the page ceiling: 32 MB admits ~1,160
+# pages (~148k triangles) for plain meshes (A=14 deduped columns),
+# ~700 pages (~90k) for smooth ones (A=23), with the windowed per-round
+# loads (bvh.GATHER_WINDOW pages, not P_pad) well inside the remaining
+# scoped headroom under VMEM_LIMIT.
+GATHER_VMEM_BUDGET = 32 << 20
 # Scoped-vmem ceiling requested for mesh-gather kernels (bytes).  v5e
 # has 128 MB of VMEM per core; the Mosaic default budget is 16 MB to
 # leave room for pipeline buffers — this kernel uses unblocked inputs

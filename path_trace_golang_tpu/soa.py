@@ -128,12 +128,14 @@ class ScenePack:
     # precomputed plane/barycentric-dual constants on lanes; page bboxes
     # are static scalar immediates on ``paged`` (PagedBvh.page_bounds).
     page_tiles: Optional[jax.Array] = None  # f32[max(P,1), 128, 32]
-    # per-attr transposed gather table (bvh.build_gather_table), stored
-    # as the limb-stacked EXACT bf16 split (bvh.pack_gather_limbs): row
-    # l*(A*128) + a*128 + j = limb l of attr a, slot j, pages on lanes —
-    # the in-kernel per-lane traversal turns dot(limb, onehot) into an
-    # MXU gather; hi+mid+lo reconstructs the f32 table bit-exactly
-    page_gather: Optional[jax.Array] = None  # bf16[3*A*128, P_pad]
+    # limb-planed gather table (bvh.build_gather_table): plane l*A + a =
+    # bf16 limb l of attr a, pages on the middle dim, slots on lanes —
+    # the in-kernel per-lane traversal turns dot(plane window, onehot)
+    # into an MXU gather; hi+mid+lo reconstructs the f32 table
+    # bit-exactly.  Limbs are STORED AS f32 (each bf16-exact): Mosaic
+    # rejects dynamic slices of bf16 refs, and the dynamic page window
+    # (bvh.GATHER_WINDOW) is what kills the ~1/P_pad contraction wall.
+    page_gather: Optional[jax.Array] = None  # f32[3*A, P_pad, PAGE_TRIS]
     paged: object = dataclasses.field(default=None, metadata=dict(static=True))
     # defocus model (scene camera extension, PHYSICS.md Q4): False =
     # reference's faithful unit-ball bokeh, True = thin-lens disk
@@ -422,14 +424,13 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
     bvh_bounds = np.zeros((1, 6), np.float32)
     tri_rows = np.zeros((1, 24), np.float32)
     page_tiles = np.zeros((1, 128, 32), np.float32)
-    page_gather = np.zeros((24, 128), "bfloat16")  # 3 limbs x 8 rows
+    page_gather = np.zeros((3, 1, 128), np.float32)  # 3 limb planes, dummy
     if t_count:
         from .ops.bvh import (
             LEAF_SIZE,
             build_bvh,
             build_gather_table,
             build_paged_bvh,
-            pack_gather_limbs,
             use_dynamic_walk,
         )
 
@@ -457,16 +458,15 @@ def pack_scene(sc: Scene, width: int = 0, height: int = 0) -> ScenePack:
                 paged, page_tiles, _page_bbox = build_paged_bvh(
                     v0, e1, e2, tri_mat_list, tri_obj, tri_smooth_list, tri_vn
                 )
-                # limb-stacked bf16 (ops/bvh.pack_gather_limbs): the
-                # kernel consumes the exact 3-limb split directly, so
-                # the f32 table never occupies VMEM.  Cache the tables
-                # as DEVICE arrays: re-rendering the same mesh then
-                # reuses the resident buffers instead of re-uploading
-                # megabytes over the (remote) device link per render —
-                # measured 0.32 s of fixed per-render cost at 10k tris
-                # on the tunnel (PERF.md round 4).
+                # limb-planed exact 3-limb split (bvh.build_gather_table,
+                # stored f32): the kernel consumes it directly.  Cache
+                # the tables as DEVICE arrays: re-rendering the same
+                # mesh then reuses the resident buffers instead of
+                # re-uploading megabytes over the (remote) device link
+                # per render — measured 0.32 s of fixed per-render cost
+                # at 10k tris on the tunnel (PERF.md round 4).
                 page_gather = jax.numpy.asarray(
-                    pack_gather_limbs(build_gather_table(page_tiles, paged))
+                    build_gather_table(page_tiles, paged)
                 )
                 page_tiles = jax.numpy.asarray(page_tiles)
                 if len(_BVH_BUILD_CACHE) >= 4:  # tiny LRU: scenes are few

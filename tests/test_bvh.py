@@ -683,21 +683,28 @@ def test_walk_skip_matches_on_live_lanes():
                     np.asarray(pa)[live], np.asarray(pb)[live], err_msg=k
                 )
 
-def test_gather_sel_banked_exact():
-    """_gather_sel's 128-page bank skipping must be EXACTLY the plain
-    full-width one-hot gather: a skipped bank's one-hot block is
-    all-false so its contribution is identically zero, and active banks
-    reconstruct the same f32 values from the same bf16 limbs (no
-    reassociation: exactly one bank contributes per lane)."""
+def test_gather_sel_windowed_exact():
+    """_gather_sel must reconstruct the exact f32 attribute values from
+    the f32-stored bf16 limb planes, both full-width and through a page
+    WINDOW: a windowed gather of an in-window lane equals the direct
+    selection, and out-of-window / sentinel / -1 lanes gather exact
+    zeros (their one-hot column is all-false)."""
     import jax
+    import ml_dtypes
 
     from path_trace_golang_tpu.ops import bvh
 
     rng = np.random.default_rng(41)
-    n_pages, p_pad, r = 300, 384, 64  # 3 banks, last one ragged
-    g = (rng.standard_normal((r, p_pad)) * 100).astype(np.float32)
-    g[:, n_pages:] = 0.0
-    gt = jnp.asarray(bvh.pack_gather_limbs(g))
+    n_pages, p_pad, a_n, tris = 300, 384, 3, bvh.PAGE_TRIS
+    g = (rng.standard_normal((a_n, p_pad, tris)) * 100).astype(np.float32)
+    g[:, n_pages:, :] = 0.0
+    bf16 = ml_dtypes.bfloat16
+    hi = g.astype(bf16).astype(np.float32)
+    r1 = g - hi
+    mid = r1.astype(bf16).astype(np.float32)
+    lo = (r1 - mid).astype(bf16).astype(np.float32)
+    assert np.array_equal(hi + mid + lo, g)  # the limb-split invariant
+    gt = jnp.asarray(np.concatenate([hi, mid, lo], axis=0))
 
     # per-lane pages: in-range, sentinel (== n_pages), and -1 (no hit)
     p_np = rng.integers(0, n_pages, size=(1, 128)).astype(np.int32)
@@ -705,35 +712,40 @@ def test_gather_sel_banked_exact():
     p_np[0, 77] = -1
     p_l = jnp.asarray(p_np)
 
-    # banked variant is opt-in (measured negative end-to-end, PERF.md r4)
-    import os
+    def direct(p_row):
+        want = np.zeros((a_n, tris, 128), np.float32)
+        for i, p in enumerate(p_row):
+            if 0 <= p < n_pages:
+                want[:, :, i] = g[:, p, :]
+        return want
 
-    os.environ["PATHTRACER_BVH_BANKED"] = "1"
-    try:
-        banked = jax.jit(
-            lambda p: bvh._gather_sel(gt, 0, r, 3, n_pages, p)
-        )(p_l)
-    finally:
-        del os.environ["PATHTRACER_BVH_BANKED"]
-
-    # plain full-width reference (default)
     plain = jax.jit(
-        lambda p: bvh._gather_sel(gt, 0, r, 3, n_pages, p)
+        lambda p: bvh._gather_sel(gt, (0, 1, 2), 3, n_pages, p)
     )(p_l)
+    want = direct(p_np[0])
+    for a in range(a_n):
+        np.testing.assert_array_equal(np.asarray(plain[a]), want[a])
 
-    np.testing.assert_array_equal(np.asarray(banked), np.asarray(plain))
-    # and both equal the direct f32 selection for in-range lanes
-    direct = g[:, np.clip(p_np[0], 0, p_pad - 1)]
-    direct[:, p_np[0] == n_pages] = 0.0
-    direct[:, p_np[0] < 0] = 0.0
-    np.testing.assert_array_equal(np.asarray(banked), direct)
+    # windowed: base=128, w=128 — lanes outside [128, 256) gather zeros
+    win = jax.jit(
+        lambda p: bvh._gather_sel(
+            gt, (0, 1, 2), 3, n_pages, p, base=jnp.int32(128), w=128
+        )
+    )(p_l)
+    masked = p_np[0].copy()
+    masked[(masked < 128) | (masked >= 256)] = -1
+    want_w = direct(masked)
+    for a in range(a_n):
+        np.testing.assert_array_equal(np.asarray(win[a]), want_w[a])
 
 
-def test_gather_walk_multibank_bitidentical_to_dense():
+def test_gather_walk_windowed_bitidentical_to_dense():
     """End-to-end gather==dense bit-identity on a mesh WIDE enough to
-    engage bank skipping (>128 pages -> p_pad 256): the banked per-round
-    test gather and banked winner resolve must not change any winner
-    field vs the dense paged sweep."""
+    engage page WINDOWING (>128 pages -> p_pad 256, window 128): the
+    windowed per-round gather defers out-of-window lanes (restoring
+    their mask bits), which may only REORDER page visits — every winner
+    field must match the dense paged sweep bit-for-bit, windowed or
+    not."""
     import os
 
     import jax
@@ -800,9 +812,10 @@ def test_gather_walk_multibank_bitidentical_to_dense():
     assert bool(np.asarray(st_d["best_t"] < 1e19).any())
     assert bool(np.asarray(occ_d).any())
 
-    for banked in ("0", "1"):  # default full-width AND opt-in banked
-        os.environ["PATHTRACER_BVH_BANKED"] = banked
-        try:
+    saved = bvh.GATHER_WINDOW
+    try:
+        for window in (0, 128):  # full-width AND a 128-page window
+            bvh.GATHER_WINDOW = window
             st_g = jax.jit(
                 lambda o, d: bvh._traverse_gather(
                     o, d, pack, 1e-3, dict(state), None, None, False
@@ -811,15 +824,15 @@ def test_gather_walk_multibank_bitidentical_to_dense():
             occ_g = jax.jit(
                 lambda o, d: bvh._occluded_gather(o, d, pack, 1e-3, 8.0, fz > 1)
             )(o, d)
-        finally:
-            del os.environ["PATHTRACER_BVH_BANKED"]
-        for k in st_d:
-            a, b = st_d[k], st_g[k]
-            parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
-            for pa, pb in parts:
-                np.testing.assert_array_equal(
-                    np.asarray(pa), np.asarray(pb), err_msg=f"{k} banked={banked}"
-                )
-        np.testing.assert_array_equal(
-            np.asarray(occ_d), np.asarray(occ_g), err_msg=f"occ banked={banked}"
-        )
+            for k in st_d:
+                a, b = st_d[k], st_g[k]
+                parts = [(a, b)] if not isinstance(a, V3) else list(zip(a, b))
+                for pa, pb in parts:
+                    np.testing.assert_array_equal(
+                        np.asarray(pa), np.asarray(pb), err_msg=f"{k} window={window}"
+                    )
+            np.testing.assert_array_equal(
+                np.asarray(occ_d), np.asarray(occ_g), err_msg=f"occ window={window}"
+            )
+    finally:
+        bvh.GATHER_WINDOW = saved

@@ -76,7 +76,7 @@ def build_table(n_lat=80, n_lon=64):
     paged, tiles, _bbox = B.build_paged_bvh(
         v0, e1, e2, np.zeros(t, np.int64), np.arange(t), np.zeros(t, bool), None
     )
-    gather = B.pack_gather_limbs(B.build_gather_table(tiles, paged))
+    gather = B.build_gather_table(tiles, paged)
     return paged, jnp.asarray(tiles), jnp.asarray(gather)
 
 
