@@ -39,7 +39,17 @@ def load(name):
 
 
 def main():
-    manifest = {}
+    import subprocess
+    import time
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=OUT, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001 — stamp is best-effort
+        commit = "unknown"
+    manifest = {"_generated": {"date": time.strftime("%Y-%m-%d"), "commit": commit}}
     for name, w, h, passes, depth in CASES:
         if QUICK:
             w, h, passes = w // 4, h // 4, 2

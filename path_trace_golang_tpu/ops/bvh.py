@@ -849,33 +849,6 @@ def _page_prepass_bucketed(
     return bwords, splits
 
 
-def _pop_bucketed(bwords, sent, fwd, n_pages):
-    """Pop each lane's next page from its first non-empty bucket.
-
-    Words are DIRECTION-FOLDED at prepass time (backward lanes store
-    page p at bit ``n_pages-1-p``), so the pop is one lowest-set-bit
-    scan per word for every lane; the folded index unfolds once at the
-    end.  Returns (p_l true page index, new bwords, sel) where sel[b]
-    marks lanes that popped from bucket b."""
-    p_f = jnp.full_like(bwords[0][0], sent)
-    earlier = None
-    outs, sel = [], []
-    for words_b in bwords:
-        any_b = words_b[0]
-        for w in words_b[1:]:
-            any_b = any_b | w
-        nonempty = any_b > 0
-        sel_b = nonempty if earlier is None else (nonempty & ~earlier)
-        p_b = _next_wanted(words_b, sent)
-        popped = _clear_bit(words_b, p_b)
-        outs.append([jnp.where(sel_b, pw, w) for pw, w in zip(popped, words_b)])
-        p_f = jnp.where(sel_b, p_b, p_f)
-        earlier = nonempty if earlier is None else (earlier | nonempty)
-        sel.append(sel_b)
-    p_l = jnp.where(p_f < sent, jnp.where(fwd, p_f, n_pages - 1 - p_f), p_f)
-    return p_l, outs, sel
-
-
 def _attr_getter(tile, ray_ndim):
     """Returns (col2, coln) attr accessors for a (PAGE_TRIS, ncols) tile.
 
@@ -1516,30 +1489,78 @@ def _center_fit_of(paged: "PagedBvh"):
     return ((paged.n_pages - 1, 0.0, float(mid), float(np.float32(dev * (1 + 1e-5)))),)
 
 
-def _clear_bit(words_r, p_l):
-    out = []
-    one = jnp.ones((), jnp.int32)
-    for j, w in enumerate(words_r):
-        rel = p_l - MASK_BITS * j
-        in_w = (rel >= 0) & (rel < MASK_BITS)
-        bit = lax.shift_left(one + (w & 0), jnp.clip(rel, 0, MASK_BITS - 1))
-        out.append(jnp.where(in_w, w & ~bit, w))
-    return out
+# ---------------------------------------------------------------------------
+# Stacked word machinery (round 5).  The per-row while loops used to
+# carry every mask word as its own (1, LANE) i32 grid: at 100k
+# triangles that is N_BUCKETS x ceil(896/30) = 120 carried arrays, and
+# every pop / clear / early-stop kill / cond touched each word with a
+# separate op on a 1-sublane grid — which Mosaic pads to a full
+# (8, 128) VPU tile, so the word machinery paid ~8x its useful lanes
+# and scaled linearly with page count (the post-window 100k wall;
+# window_sweep.json shows window width and matmul limbs are NOT the
+# remaining cost).  Now one row's words stack bucket-major into a
+# single (nw, LANE) grid: the pop is a lexicographic (bucket, page)
+# min-encode reduced across sublanes, and clear / defer / kill are
+# single broadcast grid ops — O(nw/8) tiles instead of O(nw) padded
+# tiles per round.  Semantics are IDENTICAL to the per-word pop
+# (first non-empty bucket, smallest folded page, same window deferral
+# and kill rules), so gather==dense bit-identity is preserved.
+
+def _stack_words(bwords, s):
+    """Row ``s`` of the prepass's full-grid mask words, stacked
+    bucket-major: (N_BUCKETS * mask_words, LANE) i32."""
+    return jnp.concatenate([w[s : s + 1, :] for wb in bwords for w in wb], axis=0)
 
 
-def _window_pop(p_l, bws_old, bws_new, selb, sent, p_pad: int, w_win):
+def _pop_stacked(ws, sent, fwd, n_pages: int, w_n: int, nb: int):
+    """Pop each lane's next page from a stacked (nw, LANE) word grid.
+
+    The winner is the smallest folded page index within the lane's
+    FIRST non-empty bucket (words are direction-folded at prepass time:
+    backward lanes store page p at bit n_pages-1-p, so one lowest-set-
+    bit scan is near-to-far for every lane).  Encoding:
+    enc = bucket * K + folded_page with K = w_n * MASK_BITS (>= any
+    folded page + 1), min-reduced over sublanes — lexicographic
+    (bucket, page).  Returns (p_l true page, new ws, sel) with sel[b]
+    the lanes that popped from bucket b."""
+    nw = nb * w_n
+    k_enc = w_n * MASK_BITS
+    sent_enc = jnp.int32(nb * k_enc)
+    riota = lax.broadcasted_iota(jnp.int32, (nw, 1), 0)
+    # static per-sublane offset: bucket(r)*K + word_in_bucket(r)*MASK_BITS
+    off = (riota // w_n) * k_enc + (riota % w_n) * MASK_BITS
+    low = ws & (-ws)
+    bit = (lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32) >> 23) - 127
+    enc = jnp.where(ws > 0, off + bit, sent_enc)
+    enc_min = jnp.min(enc, axis=0, keepdims=True)  # (1, LANE)
+    popped = enc_min < sent_enc
+    bkt = enc_min // k_enc
+    p_f = jnp.where(popped, enc_min - bkt * k_enc, sent)
+    # clear the popped bit: one broadcast compare selects the (word row,
+    # bit) per lane; non-popped lanes clear nothing (row compare fails:
+    # bkt = nb -> row index >= nw)
+    row = bkt * w_n + jnp.clip(p_f, 0, k_enc - 1) // MASK_BITS
+    bitm = lax.shift_left(
+        jnp.ones((), jnp.int32) + (p_f & 0), jnp.clip(p_f % MASK_BITS, 0, MASK_BITS - 1)
+    )
+    ws_new = ws & ~jnp.where(riota == row, bitm, 0)
+    sel = [popped & (bkt == b) for b in range(nb)]
+    p_l = jnp.where(p_f < sent, jnp.where(fwd, p_f, n_pages - 1 - p_f), p_f)
+    return p_l, ws_new, sel
+
+
+def _window_pop_stacked(p_l, ws_old, ws_new, selb, sent, p_pad: int, w_win):
     """Clamp one pop to the round's page window (see GATHER_WINDOW).
 
     Without windowing (``w_win`` None): accept the pop as-is (base 0).
     With windowing: base anchors at the round's minimum live page
-    (128-aligned, clamped so the window stays inside the table); lanes
-    whose page falls outside [base, base+w) DEFER — their pre-pop mask
-    words are restored, their page becomes the sentinel (gathers exact
-    zeros), and their sel flags clear (no early-stop contribution, which
-    only postpones kills — conservative).  The minimum-page lane is
-    always inside the window, so every round makes progress."""
+    (128-aligned, clamped inside the table); lanes whose page falls
+    outside [base, base+w) DEFER — pre-pop words restored (one
+    broadcast where), page to sentinel (gathers exact zeros), sel flags
+    cleared (postponing kills is conservative).  The minimum-page lane
+    is always inside the window, so every round makes progress."""
     if w_win is None:
-        return p_l, bws_new, selb, 0
+        return p_l, ws_new, selb, 0
     live = p_l < sent
     base = jnp.min(jnp.where(live, p_l, jnp.int32(p_pad)))
     base = jnp.maximum(
@@ -1547,12 +1568,21 @@ def _window_pop(p_l, bws_old, bws_new, selb, sent, p_pad: int, w_win):
     )
     in_win = live & (p_l < base + w_win)
     p_l = jnp.where(in_win, p_l, sent)
-    bws = [
-        [jnp.where(in_win, nw_, ow_) for nw_, ow_ in zip(nb_, ob_)]
-        for nb_, ob_ in zip(bws_new, bws_old)
-    ]
+    ws = jnp.where(in_win, ws_new, ws_old)
     selb = [s & in_win for s in selb]
-    return p_l, bws, selb, base
+    return p_l, ws, selb, base
+
+
+def _kill_stacked(ws, kills, w_n: int, nb: int):
+    """Zero bucket b's word rows for lanes where kills[b] — one
+    broadcast select per bucket over the stacked grid."""
+    riota = lax.broadcasted_iota(jnp.int32, (ws.shape[0], 1), 0)
+    b_of = riota // w_n
+    dead = None
+    for b, k_b in enumerate(kills):
+        d = (b_of == b) & k_b
+        dead = d if dead is None else (dead | d)
+    return jnp.where(dead, 0, ws)
 
 
 def _gather_round(
@@ -1683,7 +1713,6 @@ def _traverse_gather(
 
     w_n = paged.mask_words
     nb = len(bwords)
-    nw = nb * w_n
     key_rows, page_rows, res_rows = [], [], []
     visits = jnp.zeros((), jnp.int32)
 
@@ -1697,27 +1726,23 @@ def _traverse_gather(
         inv_ax_r = _F(1.0) / sl(d_ax)
         o_ax_r = sl(o_ax)
         splits_r = [sl(sp) for sp in splits]
-        flat0 = [sl(w) for wb in bwords for w in wb]
-        carry0 = tuple(flat0) + (sl(best_key0), sl(best_key0) * 0 - 1, visits)
+        ws0 = _stack_words(bwords, s)
+        carry0 = (ws0, sl(best_key0), sl(best_key0) * 0 - 1, visits)
 
         def cond(carry):
-            w_any = carry[0]
-            for w in carry[1:nw]:
-                w_any = w_any | w
-            return jnp.max(w_any) > 0
+            return jnp.max(carry[0]) > 0
 
         def body(carry):
-            bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
-            bk, bp, vis = carry[nw], carry[nw + 1], carry[nw + 2]
+            ws, bk, bp, vis = carry
             # pop ROUND_POPS pages up front, then gather them with
             # INDEPENDENT matmuls (stale bk as t_upper for all: a stale
             # bound only fails to reject, and the min-merge below fixes
             # the winner) so the MXU can pipeline them
             pops = []
             for _ in range(ROUND_POPS):
-                p_l, bws_new, selb = _pop_bucketed(bws, sent, fwd_r, n_pages)
-                p_l, bws, selb, base = _window_pop(
-                    p_l, bws, bws_new, selb, sent, p_pad, w_win
+                p_l, ws_new, selb = _pop_stacked(ws, sent, fwd_r, n_pages, w_n, nb)
+                p_l, ws, selb, base = _window_pop_stacked(
+                    p_l, ws, ws_new, selb, sent, p_pad, w_win
                 )
                 pops.append((p_l, selb, base))
             rounds = []
@@ -1739,6 +1764,7 @@ def _traverse_gather(
             # (|c_true - c_fit| <= dev by the build's fit residual)
             # exact bucket kill: bucket b's pages all have entry t >=
             # splits[b-1] (by prepass construction)
+            kills = []
             for b in range(nb):
                 kill = None
                 for _p_l, selb, _pk, c_ax, dev in rounds:
@@ -1749,12 +1775,12 @@ def _traverse_gather(
                     kill = k_i if kill is None else (kill | k_i)
                 if b >= 1:
                     kill = kill | (splits_r[b - 1] > ut)
-                bws[b] = [jnp.where(kill, 0, w) for w in bws[b]]
-            flat = [w for wb in bws for w in wb]
-            return tuple(flat) + (new_key, bp, vis + ROUND_POPS)
+                kills.append(kill)
+            ws = _kill_stacked(ws, kills, w_n, nb)
+            return (ws, new_key, bp, vis + ROUND_POPS)
 
         out = lax.while_loop(cond, body, carry0)
-        bk_r, bp_r, visits = out[nw], out[nw + 1], out[nw + 2]
+        bk_r, bp_r, visits = out[1], out[2], out[3]
         key_rows.append(_unflatten_row(bk_r, gstep))
         page_rows.append(_unflatten_row(bp_r, gstep))
 
@@ -1835,7 +1861,6 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
     )
     key0 = lax.bitcast_convert_type(big_t, jnp.int32) | jnp.int32(_KEY_SLOT_MASK)
     nb = len(bwords)
-    nw = nb * w_n
 
     blk_rows = []
     for s in range(grows):
@@ -1845,23 +1870,21 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
         t_max_r = _lane_arg(t_max_f, s)
         key0_r = sl(key0)
         fwd_r = sl(d_ax) >= 0
-        flat0 = [sl(w) for wb in bwords for w in wb]
+        ws0 = _stack_words(bwords, s)
         blk0 = sl(blocked_f)
-        carry0 = tuple(flat0) + (blk0,)
+        carry0 = (ws0, blk0)
 
         def cond(carry):
-            w_any = carry[0]
-            for w in carry[1:nw]:
-                w_any = w_any | w
-            return jnp.max(w_any) > 0
+            return jnp.max(carry[0]) > 0
 
         def body(carry):
-            bws = [list(carry[b * w_n : (b + 1) * w_n]) for b in range(nb)]
-            blk = carry[nw]
+            ws, blk = carry
             for _ in range(ROUND_POPS):
-                p_l, bws_new, selb = _pop_bucketed(bws, sent, fwd_r, paged.n_pages)
-                p_l, bws, _selb, base = _window_pop(
-                    p_l, bws, bws_new, selb, sent, p_pad, w_win
+                p_l, ws_new, selb = _pop_stacked(
+                    ws, sent, fwd_r, paged.n_pages, w_n, nb
+                )
+                p_l, ws, _selb, base = _window_pop_stacked(
+                    p_l, ws, ws_new, selb, sent, p_pad, w_win
                 )
                 page_key, _c_ax, _dev = _gather_round(
                     test_args, p_l, o_r, d_r, t_min, key0_r,
@@ -1869,9 +1892,9 @@ def _occluded_gather(o: V3, d: V3, pack, t_min, t_max, blocked):
                 )
                 blk = blk | (page_key < key0_r).astype(jnp.int32)
             dead = blk != 0
-            flat = [jnp.where(dead, 0, w) for wb in bws for w in wb]
-            return tuple(flat) + (blk,)
+            ws = jnp.where(dead, 0, ws)
+            return (ws, blk)
 
         out = lax.while_loop(cond, body, carry0)
-        blk_rows.append(_unflatten_row(out[nw], gstep))
+        blk_rows.append(_unflatten_row(out[1], gstep))
     return jnp.concatenate(blk_rows, axis=0) != 0
