@@ -30,14 +30,18 @@ median window wall x (1920*1080)/(512*512) x (64/window_passes).
 A linear-scale projection, slightly pessimistic (the ~0.2 s fixed
 per-render cost is scaled along with the compute).
 
-Cold-start accounting (round 5): the two warmups (headline + mesh)
-compile in PARALLEL THREADS — XLA compiles run server-side on separate
-compile-helper processes, so the wall cost is ~max not sum — and after
-the timed runs a FRESH SUBPROCESS re-runs both warmups against the
-now-written persistent cache and reports ``compile_warm_s`` /
-``mesh_compile_warm_s``: the cold start any later process (CI, a user,
-the next bench) actually pays.  ``.jax_cache/`` is committed to the
-repo so a fresh checkout starts from the warm regime.
+Cold-start accounting (round 5): the warmups run SERIALLY and the
+persistent compile cache lives in ``.jax_cache_bench/``, which is
+COMMITTED to the repo so a fresh checkout starts from the warm regime.
+Two hard-won rules shape this (PERF.md round-5 cold-start section):
+parallel-thread warmups make the traced HLO's internal naming — and
+therefore the cache keys — nondeterministic across processes, so
+threaded warmups can never hit their own cache; and a cache dir
+bloated with stale or test-suite entries makes even warm reads slow,
+so the bench cache is isolated from the test suite's ``.jax_cache/``.
+After the timed runs a FRESH SUBPROCESS re-runs both warmups against
+the cache and reports ``compile_warm_s`` / ``mesh_compile_warm_s``:
+the cold start any later process (CI, a user, the next bench) pays.
 
 Diagnostics go to stderr.
 """
@@ -49,7 +53,6 @@ import os
 import statistics
 import subprocess
 import sys
-import threading
 import time
 
 
@@ -66,25 +69,20 @@ def _timed_windows(renderer_factory, sc, cfg, n_runs):
     return rates, walls
 
 
-def _parallel_warmups(jobs):
-    """Run ``jobs`` = [(label, thunk), ...] in parallel threads; returns
-    {label: seconds}.  Compiles are server-side (separate compile-helper
-    processes per program on the axon backend), so overlapping them cuts
-    the bench's cold-start wall to ~max(compile times) instead of the
-    sum; the short warmup renders at the tail contend for the one chip,
-    which inflates each recorded figure by at most the other's render."""
+def _serial_warmups(jobs):
+    """Run ``jobs`` = [(label, thunk), ...] one after another; returns
+    {label: seconds}.  SERIAL on purpose: a parallel-thread variant
+    (round-5 experiment) interleaved the two programs' tracing, which
+    made the HLO's internal naming — and therefore the persistent-cache
+    keys — nondeterministic across processes; the same bench then
+    missed its own cache on every fresh run (two same-named entries
+    with different hashes in the dir).  Deterministic keys are worth
+    more than the overlapped cold wall."""
     out = {}
-
-    def run(label, thunk):
+    for label, thunk in jobs:
         t0 = time.perf_counter()
         thunk()
         out[label] = time.perf_counter() - t0
-
-    threads = [threading.Thread(target=run, args=j, daemon=True) for j in jobs]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
     return out
 
 
@@ -99,7 +97,7 @@ def _setup():
     # XLA compile when the backend supports executable serialization
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_bench"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -128,7 +126,7 @@ def _warm_probe() -> int:
     cache: the number a NEW process/user/CI run pays.  Prints one JSON
     line and exits."""
     pt, sc, cfg, mesh_sc, mesh_cfg = _setup()
-    times = _parallel_warmups(
+    times = _serial_warmups(
         [
             ("headline", lambda: pt.Renderer(contract="gpu", seed=1).render(sc, cfg)),
             ("mesh", lambda: pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)),
@@ -154,8 +152,8 @@ def main() -> int:
 
     # warmup / compile — tracked in the JSON artifact (compile_s) so the
     # cold-start cost is a budgeted number across rounds, not a silent
-    # tax.  Headline and mesh warm in parallel (see _parallel_warmups).
-    times = _parallel_warmups(
+    # tax.  Serial for cache-key determinism (see _serial_warmups).
+    times = _serial_warmups(
         [
             ("headline", lambda: pt.Renderer(contract="gpu", seed=1).render(sc, cfg)),
             ("mesh", lambda: pt.Renderer(contract="gpu", seed=11).render(mesh_sc, mesh_cfg)),
@@ -163,7 +161,7 @@ def main() -> int:
     )
     compile_s, mesh_compile_s = times["headline"], times["mesh"]
     print(
-        f"warmup+compile (parallel): headline {compile_s:.1f}s, mesh {mesh_compile_s:.1f}s",
+        f"warmup+compile (serial): headline {compile_s:.1f}s, mesh {mesh_compile_s:.1f}s",
         file=sys.stderr,
     )
 
