@@ -41,9 +41,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CONFIGS = [  # (subbox, buckets)
     (2, 4),  # shipping defaults — matches tri_scaling round-5 row
-    (1, 4),  # prepass halves
-    (2, 2),  # word machinery halves
-    (2, 1),  # word machinery quarters, no bucketed early stop
+    (2, 2),  # fewer buckets: pops closer to page order -> fewer window deferrals
+    (2, 1),  # pure page-order pops, no bucketed early stop
 ]
 
 
